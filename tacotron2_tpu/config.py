@@ -1,0 +1,160 @@
+"""Experiment configuration.
+
+Replaces the reference's TF-1.15 ``tf.contrib.training.HParams`` singleton
+(/root/reference/hparams.py:5-95) with a frozen dataclass: same flat parameter
+namespace, same defaults, same ``"key=value,key=value"`` override string — but
+no TensorFlow dependency, and with extra TPU-first knobs (mesh shape, compute
+dtype, length bucketing) that have no reference equivalent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import typing
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Tacotron2Config:
+    # ---- Experiment (reference hparams.py:12-22) ----
+    epochs: int = 500
+    iters_per_checkpoint: int = 1000
+    seed: int = 1234
+    ignore_layers: List[str] = field(default_factory=lambda: ["embedding"])
+
+    # ---- Data (reference hparams.py:27-31) ----
+    load_mel_from_disk: bool = False
+    training_files: str = "filelists/ljs_audio_text_train_filelist.txt"
+    validation_files: str = "filelists/ljs_audio_text_val_filelist.txt"
+    text_cleaners: List[str] = field(default_factory=lambda: ["english_cleaners"])
+
+    # ---- Audio (reference hparams.py:35-42) ----
+    max_wav_value: float = 32768.0
+    sampling_rate: int = 22050
+    filter_length: int = 1024
+    hop_length: int = 256
+    win_length: int = 1024
+    n_mel_channels: int = 80
+    mel_fmin: float = 0.0
+    mel_fmax: float = 8000.0
+
+    # ---- Model (reference hparams.py:47-75) ----
+    n_symbols: int = 148  # len(text.symbols); checked at model init
+    symbols_embedding_dim: int = 512
+
+    encoder_kernel_size: int = 5
+    encoder_n_convolutions: int = 3
+    encoder_embedding_dim: int = 512
+
+    n_frames_per_step: int = 1
+    decoder_rnn_dim: int = 1024
+    prenet_dim: int = 256
+    max_decoder_steps: int = 1000
+    gate_threshold: float = 0.5
+    p_attention_dropout: float = 0.1
+    p_decoder_dropout: float = 0.1
+
+    attention_rnn_dim: int = 1024
+    attention_dim: int = 128
+
+    attention_location_n_filters: int = 32
+    attention_location_kernel_size: int = 31
+
+    postnet_embedding_dim: int = 512
+    postnet_kernel_size: int = 5
+    postnet_n_convolutions: int = 5
+
+    # ---- Optimization (reference hparams.py:80-85) ----
+    use_saved_learning_rate: bool = False
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-6
+    grad_clip_thresh: float = 1.0
+    batch_size: int = 64
+    mask_padding: bool = True
+
+    # ---- TPU-native additions (no reference equivalent) ----
+    # Compute dtype for matmuls/convs; params and optimizer state stay fp32.
+    # Replaces the reference's Apex AMP fp16 path (train.py:173-176) — bf16
+    # on TPU needs no loss scaling.
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    # Device mesh: (data-parallel, model-parallel). mp=1 disables TP.
+    mesh_shape: Tuple[int, int] = (1, 1)
+    # Static-shape length buckets replacing the reference's dynamic
+    # sort-and-pad collate (data_utils.py:73-96). Text lengths are padded up
+    # to the nearest bucket; mel lengths to the nearest multiple of
+    # mel_bucket_step. Bounded compile count, no recompilation churn.
+    text_buckets: Tuple[int, ...] = (64, 128, 192)
+    mel_bucket_step: int = 128
+    max_mel_length: int = 1024
+    # Prenet dropout is active even at inference in the reference
+    # (model.py:99); keep that as the default but allow turning it off.
+    prenet_dropout_at_inference: bool = True
+
+    def replace(self, **kw) -> "Tacotron2Config":
+        return dataclasses.replace(self, **kw)
+
+
+_LIST_SPLIT = re.compile(r"[;+]")
+
+
+def _coerce(value: str, ftype):
+    """Coerce a string override to the declared field type."""
+    origin = typing.get_origin(ftype)
+    if origin in (list, tuple):
+        (etype,) = set(typing.get_args(ftype)) - {Ellipsis}
+        items = [v for v in _LIST_SPLIT.split(value) if v]
+        seq = [_coerce(v, etype) for v in items]
+        return tuple(seq) if origin is tuple else seq
+    if ftype is bool or ftype == Optional[bool]:
+        low = value.strip().lower()
+        if low in ("true", "1", "yes"):
+            return True
+        if low in ("false", "0", "no"):
+            return False
+        raise ValueError(f"cannot parse boolean from {value!r}")
+    if ftype is int:
+        return int(value)
+    if ftype is float:
+        return float(value)
+    return value
+
+
+def parse_overrides(config: Tacotron2Config, overrides: str) -> Tacotron2Config:
+    """Apply a ``"k=v,k=v"`` override string (reference hparams.py:88-90).
+
+    List-valued fields use ``;`` or ``+`` as the element separator so that
+    ``,`` stays the pair separator, e.g. ``text_buckets=32;64;96``.
+    """
+    if not overrides:
+        return config
+    fields = {f.name: f for f in dataclasses.fields(Tacotron2Config)}
+    updates = {}
+    for pair in overrides.split(","):
+        pair = pair.strip()
+        if not pair:
+            continue
+        if "=" not in pair:
+            raise ValueError(f"malformed override {pair!r}; expected key=value")
+        key, value = pair.split("=", 1)
+        key = key.strip()
+        if key not in fields:
+            raise KeyError(f"unknown config field {key!r}")
+        updates[key] = _coerce(value.strip(), fields[key].type_resolved
+                               if hasattr(fields[key], "type_resolved")
+                               else _resolve_type(fields[key]))
+    return config.replace(**updates)
+
+
+def _resolve_type(f: dataclasses.Field):
+    hints = typing.get_type_hints(Tacotron2Config)
+    return hints[f.name]
+
+
+def create_config(overrides: Optional[str] = None, **kw) -> Tacotron2Config:
+    """Build a config from defaults, an override string, and keyword args."""
+    config = Tacotron2Config(**kw)
+    if overrides:
+        config = parse_overrides(config, overrides)
+    return config

@@ -1,0 +1,50 @@
+"""Config system tests (dataclass + k=v override string)."""
+
+import pytest
+
+from tacotron2_tpu.config import Tacotron2Config, create_config, parse_overrides
+
+
+def test_defaults_match_reference():
+    # Reference defaults: /root/reference/hparams.py:12-85
+    c = Tacotron2Config()
+    assert c.epochs == 500
+    assert c.sampling_rate == 22050
+    assert c.filter_length == 1024
+    assert c.hop_length == 256
+    assert c.n_mel_channels == 80
+    assert c.mel_fmax == 8000.0
+    assert c.symbols_embedding_dim == 512
+    assert c.attention_location_kernel_size == 31
+    assert c.learning_rate == 1e-3
+    assert c.weight_decay == 1e-6
+    assert c.grad_clip_thresh == 1.0
+    assert c.batch_size == 64
+    assert c.mask_padding is True
+    assert c.n_symbols == 148
+
+
+def test_override_string():
+    c = create_config("batch_size=16,learning_rate=5e-4,mask_padding=false")
+    assert c.batch_size == 16
+    assert c.learning_rate == 5e-4
+    assert c.mask_padding is False
+
+
+def test_override_list_field():
+    c = create_config("text_buckets=32;64;96,text_cleaners=basic_cleaners")
+    assert c.text_buckets == (32, 64, 96)
+    assert c.text_cleaners == ["basic_cleaners"]
+
+
+def test_unknown_key_rejected():
+    with pytest.raises(KeyError):
+        parse_overrides(Tacotron2Config(), "no_such_param=1")
+
+
+def test_frozen():
+    c = Tacotron2Config()
+    with pytest.raises(Exception):
+        c.batch_size = 1  # type: ignore[misc]
+    c2 = c.replace(batch_size=8)
+    assert c2.batch_size == 8 and c.batch_size == 64
