@@ -1,0 +1,114 @@
+"""LSTM primitives: fused cell, time scans, length-aware BiLSTM.
+
+TPU-native replacement for the reference's cuDNN LSTM surface
+(nn.LSTMCell at /root/reference/model.py:222,231; packed BiLSTM at
+model.py:169-188): a single fused gate matmul per step under ``lax.scan``.
+Gate block order matches torch (input, forget, cell, output) so torch
+checkpoints map over by transposing the stacked weights.
+
+The bidirectional variant reproduces ``pack_padded_sequence`` semantics
+without packing: the reverse pass scans a per-row length-reversed copy of
+the sequence, so each row's backward state starts exactly at its own last
+valid frame — and outputs beyond each row's length are zeroed, like
+``pad_packed_sequence`` emits.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tacotron2_tpu.ops import initializers
+from tacotron2_tpu.ops.layers import length_mask
+
+Params = Dict[str, jnp.ndarray]
+State = Tuple[jnp.ndarray, jnp.ndarray]  # (h, c)
+
+
+def lstm_params(key: jax.Array, in_dim: int, hidden_dim: int) -> Params:
+    """wi: (in, 4H), wh: (H, 4H), bi/bh: (4H,) — torch layout, transposed."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "wi": initializers.lstm_uniform(k1, (in_dim, 4 * hidden_dim), hidden_dim),
+        "wh": initializers.lstm_uniform(k2, (hidden_dim, 4 * hidden_dim), hidden_dim),
+        "bi": initializers.lstm_uniform(k3, (4 * hidden_dim,), hidden_dim),
+        "bh": initializers.lstm_uniform(k4, (4 * hidden_dim,), hidden_dim),
+    }
+
+
+def lstm_init_state(batch: int, hidden_dim: int, dtype=jnp.float32) -> State:
+    zeros = jnp.zeros((batch, hidden_dim), dtype)
+    return zeros, zeros
+
+
+def lstm_cell(params: Params, x: jnp.ndarray, state: State,
+              compute_dtype=None) -> State:
+    """One LSTM step. x: (B, in); state: ((B, H), (B, H)).
+
+    One fused matmul computes all four gate blocks; fp32 accumulation.
+    """
+    h, c = state
+    wi, wh = params["wi"], params["wh"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        h_in = h.astype(compute_dtype)
+        wi = wi.astype(compute_dtype)
+        wh = wh.astype(compute_dtype)
+    else:
+        h_in = h
+    gates = (
+        jnp.dot(x, wi, preferred_element_type=jnp.float32)
+        + jnp.dot(h_in, wh, preferred_element_type=jnp.float32)
+        + params["bi"] + params["bh"]
+    )
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    new_c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+    return new_h, new_c
+
+
+def lstm_scan(params: Params, xs: jnp.ndarray, state: State | None = None,
+              compute_dtype=None) -> Tuple[jnp.ndarray, State]:
+    """Unidirectional LSTM over time. xs: (B, T, in) -> (B, T, H)."""
+    B = xs.shape[0]
+    H = params["wh"].shape[0]
+    if state is None:
+        state = lstm_init_state(B, H)
+
+    def step(carry, x_t):
+        new_state = lstm_cell(params, x_t, carry, compute_dtype)
+        return new_state, new_state[0]
+
+    final, hs = jax.lax.scan(step, state, xs.swapaxes(0, 1))
+    return hs.swapaxes(0, 1), final
+
+
+def _reverse_by_length(xs: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Reverse each row within its own valid prefix: out[b, t] = xs[b, L_b-1-t]
+    for t < L_b (positions past L_b hold clamped junk — callers mask)."""
+    T = xs.shape[1]
+    t = jnp.arange(T)[None, :]
+    idx = jnp.clip(lengths[:, None] - 1 - t, 0, T - 1)
+    return jnp.take_along_axis(xs, idx[:, :, None], axis=1)
+
+
+def bilstm(fwd_params: Params, bwd_params: Params, xs: jnp.ndarray,
+           lengths: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """Bidirectional LSTM with per-row lengths. (B, T, in) -> (B, T, 2H).
+
+    Matches torch's packed BiLSTM (reference model.py:181-188): the backward
+    direction starts from each row's true last frame, and all outputs at
+    t >= length are zero.
+    """
+    mask = length_mask(lengths, xs.shape[1])[:, :, None]
+
+    fwd_out, _ = lstm_scan(fwd_params, xs, compute_dtype=compute_dtype)
+
+    xs_rev = _reverse_by_length(xs, lengths)
+    bwd_scan, _ = lstm_scan(bwd_params, xs_rev, compute_dtype=compute_dtype)
+    bwd_out = _reverse_by_length(bwd_scan, lengths)
+
+    out = jnp.concatenate([fwd_out, bwd_out], axis=-1)
+    return jnp.where(mask, out, jnp.zeros_like(out))
