@@ -1,0 +1,5 @@
+"""Model zoo: Tacotron 2 acoustic model, WaveGlow-style flow vocoder."""
+
+from tacotron2_tpu.models import tacotron2
+
+__all__ = ["tacotron2"]

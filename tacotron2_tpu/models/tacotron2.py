@@ -1,0 +1,482 @@
+"""Tacotron 2, TPU-native.
+
+Functional re-design of the reference model (/root/reference/model.py):
+
+- Parameters are a pytree; every component is a pure function of
+  ``(params, inputs, rng)``. Batchnorm running statistics live in a separate
+  ``stats`` pytree threaded through training steps.
+- The autoregressive decoder is a single fused step function run under
+  ``lax.scan`` for teacher forcing (reference: Python while loop,
+  model.py:405-411) and under ``lax.while_loop`` with a per-row gate latch
+  for inference (reference stops the whole batch on the first gate crossing,
+  model.py:443 — here each row stops independently, making inference
+  batchable).
+- Activations are channels-last ``(B, T, C)``; mel tensors are ``(B, T, 80)``
+  throughout (the reference uses ``(B, 80, T)`` — transpose at the boundary
+  if exporting).
+
+Fidelity notes (traps from the reference, all preserved):
+- prenet dropout is ACTIVE at inference (model.py:99) unless
+  ``config.prenet_dropout_at_inference=False``;
+- the BiLSTM never reads padding (packed-sequence semantics, model.py:181);
+- attention energies at padded positions are masked to -inf before softmax
+  (model.py:79-80);
+- masked outputs: mel -> 0, gate energy -> 1e3 past each row's mel length
+  (model.py:487-497).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tacotron2_tpu.config import Tacotron2Config
+from tacotron2_tpu.ops import initializers
+from tacotron2_tpu.ops.layers import (
+    batchnorm, batchnorm_params, batchnorm_stats, conv1d, conv1d_params,
+    dense, dense_params, dropout, length_mask,
+)
+from tacotron2_tpu.ops.lstm import bilstm, lstm_cell, lstm_params
+
+Params = Dict
+MASKED_GATE_ENERGY = 1e3  # reference model.py:495
+
+
+# ======================================================================
+# Initialization
+# ======================================================================
+
+def init_params(key: jax.Array, cfg: Tacotron2Config) -> Tuple[Params, Params]:
+    """Build (params, stats) pytrees with reference-matching init."""
+    keys = iter(jax.random.split(key, 64))
+    nk = lambda: next(keys)
+    e = cfg.encoder_embedding_dim
+    a = cfg.attention_rnn_dim
+    d = cfg.decoder_rnn_dim
+    n_mels = cfg.n_mel_channels * cfg.n_frames_per_step
+
+    params = {
+        "embedding": initializers.embedding_init(
+            nk(), cfg.n_symbols, cfg.symbols_embedding_dim),
+        "encoder": {
+            "convs": [
+                {"conv": conv1d_params(nk(), cfg.encoder_kernel_size, e, e,
+                                       gain_for="relu"),
+                 "bn": batchnorm_params(e)}
+                for _ in range(cfg.encoder_n_convolutions)
+            ],
+            "lstm_fwd": lstm_params(nk(), e, e // 2),
+            "lstm_bwd": lstm_params(nk(), e, e // 2),
+        },
+        "decoder": {
+            "prenet": [
+                dense_params(nk(), n_mels, cfg.prenet_dim, bias=False),
+                dense_params(nk(), cfg.prenet_dim, cfg.prenet_dim, bias=False),
+            ],
+            "attention_rnn": lstm_params(nk(), cfg.prenet_dim + e, a),
+            "attention": {
+                "query": dense_params(nk(), a, cfg.attention_dim, bias=False,
+                                      gain_for="tanh"),
+                "memory": dense_params(nk(), e, cfg.attention_dim, bias=False,
+                                       gain_for="tanh"),
+                "v": dense_params(nk(), cfg.attention_dim, 1, bias=False),
+                "location_conv": conv1d_params(
+                    nk(), cfg.attention_location_kernel_size, 2,
+                    cfg.attention_location_n_filters, bias=False),
+                "location_dense": dense_params(
+                    nk(), cfg.attention_location_n_filters, cfg.attention_dim,
+                    bias=False, gain_for="tanh"),
+            },
+            "decoder_rnn": lstm_params(nk(), a + e, d),
+            "projection": dense_params(nk(), d + e, n_mels),
+            "gate": dense_params(nk(), d + e, 1, gain_for="sigmoid"),
+        },
+        "postnet": _postnet_init(nk, cfg),
+    }
+
+    stats = {
+        "encoder": {"convs": [batchnorm_stats(e)
+                              for _ in range(cfg.encoder_n_convolutions)]},
+        "postnet": {"convs": [
+            batchnorm_stats(cfg.postnet_embedding_dim
+                            if i < cfg.postnet_n_convolutions - 1
+                            else cfg.n_mel_channels)
+            for i in range(cfg.postnet_n_convolutions)]},
+    }
+    return params, stats
+
+
+def _postnet_init(nk, cfg: Tacotron2Config) -> Params:
+    """5-layer conv stack: mel->512 (tanh), 512->512 (tanh) x3, 512->mel."""
+    p = cfg.postnet_embedding_dim
+    k = cfg.postnet_kernel_size
+    layers = [{"conv": conv1d_params(nk(), k, cfg.n_mel_channels, p,
+                                     gain_for="tanh"),
+               "bn": batchnorm_params(p)}]
+    for _ in range(cfg.postnet_n_convolutions - 2):
+        layers.append({"conv": conv1d_params(nk(), k, p, p, gain_for="tanh"),
+                       "bn": batchnorm_params(p)})
+    layers.append({"conv": conv1d_params(nk(), k, p, cfg.n_mel_channels,
+                                         gain_for="linear"),
+                   "bn": batchnorm_params(cfg.n_mel_channels)})
+    return {"convs": layers}
+
+
+# ======================================================================
+# Encoder
+# ======================================================================
+
+def encode(params: Params, stats: Params, text: jnp.ndarray,
+           text_lengths: jnp.ndarray, cfg: Tacotron2Config, *,
+           training: bool, rng: Optional[jax.Array] = None,
+           compute_dtype=None) -> Tuple[jnp.ndarray, Params]:
+    """text (B, T_in) int32 -> encoder memory (B, T_in, 512).
+
+    3x [conv5 -> batchnorm -> relu -> dropout(0.5)] then length-aware BiLSTM
+    (reference Encoder, model.py:149-201).
+    """
+    x = params["embedding"][text]  # (B, T, 512)
+    new_conv_stats = []
+    for i, layer in enumerate(params["encoder"]["convs"]):
+        x = conv1d(layer["conv"], x, compute_dtype=compute_dtype)
+        x, s = batchnorm(layer["bn"], stats["encoder"]["convs"][i], x,
+                         training=training)
+        new_conv_stats.append(s)
+        x = jax.nn.relu(x)
+        key = jax.random.fold_in(rng, i) if rng is not None else None
+        x = dropout(key, x, 0.5, deterministic=not training)
+    memory = bilstm(params["encoder"]["lstm_fwd"], params["encoder"]["lstm_bwd"],
+                    x, text_lengths, compute_dtype=compute_dtype)
+    new_stats = {"encoder": {"convs": new_conv_stats}}
+    return memory, new_stats
+
+
+# ======================================================================
+# Decoder
+# ======================================================================
+
+class DecoderState(NamedTuple):
+    """Explicit carry for the decoder scan — the reference's mutable module
+    attributes (model.py:270-289) made functional."""
+    att_h: jnp.ndarray       # (B, attention_rnn_dim)
+    att_c: jnp.ndarray
+    dec_h: jnp.ndarray       # (B, decoder_rnn_dim)
+    dec_c: jnp.ndarray
+    att_weights: jnp.ndarray      # (B, T_in)
+    att_weights_cum: jnp.ndarray  # (B, T_in)
+    att_context: jnp.ndarray      # (B, encoder_embedding_dim)
+
+
+def init_decoder_state(memory: jnp.ndarray, cfg: Tacotron2Config) -> DecoderState:
+    B, T_in, e = memory.shape
+    f32 = jnp.float32
+    return DecoderState(
+        att_h=jnp.zeros((B, cfg.attention_rnn_dim), f32),
+        att_c=jnp.zeros((B, cfg.attention_rnn_dim), f32),
+        dec_h=jnp.zeros((B, cfg.decoder_rnn_dim), f32),
+        dec_c=jnp.zeros((B, cfg.decoder_rnn_dim), f32),
+        att_weights=jnp.zeros((B, T_in), f32),
+        att_weights_cum=jnp.zeros((B, T_in), f32),
+        att_context=jnp.zeros((B, e), f32),
+    )
+
+
+def prenet_apply(params: Params, x: jnp.ndarray, rng: Optional[jax.Array],
+                 deterministic: bool = False,
+                 compute_dtype=None) -> jnp.ndarray:
+    """2x [dense -> relu -> dropout(0.5)]. Dropout is active by default even
+    at inference — a deliberate reference quirk (model.py:99)."""
+    for i, layer in enumerate(params):
+        x = jax.nn.relu(dense(layer, x, compute_dtype=compute_dtype))
+        key = jax.random.fold_in(rng, i) if rng is not None else None
+        x = dropout(key, x, 0.5, deterministic=deterministic)
+    return x
+
+
+def _attention(p: Params, att_hidden: jnp.ndarray, memory: jnp.ndarray,
+               processed_memory: jnp.ndarray, att_weights: jnp.ndarray,
+               att_weights_cum: jnp.ndarray, mask: Optional[jnp.ndarray],
+               compute_dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Location-sensitive additive attention (reference model.py:29-86).
+
+    energies = v . tanh(W_q q + W_loc conv([w; w_cum]) + W_m memory)
+    """
+    weights_cat = jnp.stack([att_weights, att_weights_cum], axis=-1)  # (B,T,2)
+    loc = conv1d(p["location_conv"], weights_cat, compute_dtype=compute_dtype)
+    loc = dense(p["location_dense"], loc, compute_dtype=compute_dtype)
+    query = dense(p["query"], att_hidden, compute_dtype=compute_dtype)[:, None, :]
+    energies = dense(p["v"], jnp.tanh(query + loc + processed_memory),
+                     compute_dtype=compute_dtype)[..., 0]  # (B, T_in)
+    if mask is not None:
+        energies = jnp.where(mask, energies, -jnp.inf)
+    weights = jax.nn.softmax(energies, axis=1)
+    context = jnp.einsum("bt,bte->be", weights,
+                         memory.astype(weights.dtype))
+    return context, weights
+
+
+def decoder_step(params: Params, state: DecoderState, prenet_out: jnp.ndarray,
+                 memory: jnp.ndarray, processed_memory: jnp.ndarray,
+                 mask: Optional[jnp.ndarray], cfg: Tacotron2Config, *,
+                 training: bool, rng: Optional[jax.Array] = None,
+                 compute_dtype=None,
+                 ) -> Tuple[DecoderState, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """One autoregressive frame (reference Decoder.decode, model.py:340-379).
+
+    attention LSTM -> attention -> decoder LSTM -> mel projection + gate.
+    """
+    dp = params
+    cell_input = jnp.concatenate([prenet_out, state.att_context], axis=-1)
+    att_h, att_c = lstm_cell(dp["attention_rnn"], cell_input,
+                             (state.att_h, state.att_c), compute_dtype)
+    if training and rng is not None:
+        att_h = dropout(jax.random.fold_in(rng, 0), att_h,
+                        cfg.p_attention_dropout)
+
+    att_context, att_weights = _attention(
+        dp["attention"], att_h, memory, processed_memory,
+        state.att_weights, state.att_weights_cum, mask, compute_dtype)
+    att_weights_cum = state.att_weights_cum + att_weights
+
+    dec_input = jnp.concatenate([att_h, att_context], axis=-1)
+    dec_h, dec_c = lstm_cell(dp["decoder_rnn"], dec_input,
+                             (state.dec_h, state.dec_c), compute_dtype)
+    if training and rng is not None:
+        dec_h = dropout(jax.random.fold_in(rng, 1), dec_h,
+                        cfg.p_decoder_dropout)
+
+    proj_input = jnp.concatenate([dec_h, att_context], axis=-1)
+    mel_frame = dense(dp["projection"], proj_input, compute_dtype=compute_dtype)
+    gate_energy = dense(dp["gate"], proj_input, compute_dtype=compute_dtype)[..., 0]
+
+    new_state = DecoderState(att_h, att_c, dec_h, dec_c,
+                             att_weights, att_weights_cum, att_context)
+    return new_state, (mel_frame, gate_energy, att_weights)
+
+
+def decode_teacher_forced(params: Params, memory: jnp.ndarray,
+                          memory_lengths: jnp.ndarray, mels: jnp.ndarray,
+                          cfg: Tacotron2Config, *, training: bool,
+                          rng: Optional[jax.Array] = None,
+                          compute_dtype=None,
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Teacher-forced decoding (reference Decoder.forward, model.py:381-416).
+
+    mels: (B, T_out, n_mels) ground-truth frames. Returns
+    (mel_outputs (B, T_out, n_mels), gate_energies (B, T_out),
+    alignments (B, T_out, T_in)).
+    """
+    dp = params["decoder"]
+    B, T_out, n_mels = mels.shape
+    go = jnp.zeros((B, 1, n_mels), mels.dtype)
+    # inputs to steps 0..T-1 are [go, mel_0, ..., mel_{T-2}]
+    decoder_inputs = jnp.concatenate([go, mels[:, :-1]], axis=1)
+
+    prenet_rng = jax.random.fold_in(rng, 100) if rng is not None else None
+    prenet_out = prenet_apply(dp["prenet"], decoder_inputs, prenet_rng,
+                              deterministic=False,  # always on (model.py:99)
+                              compute_dtype=compute_dtype)
+
+    mask = length_mask(memory_lengths, memory.shape[1])
+    processed_memory = dense(dp["attention"]["memory"], memory,
+                             compute_dtype=compute_dtype)
+    state = init_decoder_state(memory, cfg)
+
+    scan_rng = jax.random.fold_in(rng, 200) if rng is not None else None
+
+    def step(carry, xs):
+        t, prenet_t = xs
+        rng_t = (jax.random.fold_in(scan_rng, t)
+                 if scan_rng is not None else None)
+        new_state, outs = decoder_step(
+            dp, carry, prenet_t, memory, processed_memory, mask, cfg,
+            training=training, rng=rng_t, compute_dtype=compute_dtype)
+        return new_state, outs
+
+    xs = (jnp.arange(T_out), prenet_out.swapaxes(0, 1))
+    _, (mel_outputs, gate_energies, alignments) = jax.lax.scan(step, state, xs)
+    return (mel_outputs.swapaxes(0, 1), gate_energies.swapaxes(0, 1),
+            alignments.swapaxes(0, 1))
+
+
+class InferenceResult(NamedTuple):
+    mel: jnp.ndarray          # (B, T, n_mels) — decoder output
+    mel_postnet: jnp.ndarray  # (B, T, n_mels) — decoder + postnet residual
+    gate_energies: jnp.ndarray  # (B, T)
+    alignments: jnp.ndarray   # (B, T, T_in)
+    mel_lengths: jnp.ndarray  # (B,) frames produced per row
+
+
+def decode_autoregressive(params: Params, memory: jnp.ndarray,
+                          memory_lengths: Optional[jnp.ndarray],
+                          cfg: Tacotron2Config, *,
+                          rng: Optional[jax.Array] = None,
+                          max_steps: Optional[int] = None,
+                          compute_dtype=None,
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched autoregressive inference with per-row gate stopping.
+
+    Unlike the reference (model.py:435-449, which breaks the whole batch on
+    the first scalar gate crossing — effectively B=1 only), every row latches
+    its own stop at sigmoid(gate) > threshold; the loop exits when all rows
+    have stopped or at ``max_decoder_steps``. Static shapes: outputs are
+    (B, max_steps, ...) buffers plus per-row lengths.
+    """
+    dp = params["decoder"]
+    B, T_in, _ = memory.shape
+    n_mels = cfg.n_mel_channels * cfg.n_frames_per_step
+    T_max = max_steps or cfg.max_decoder_steps
+
+    mask = (length_mask(memory_lengths, T_in)
+            if memory_lengths is not None else None)
+    processed_memory = dense(dp["attention"]["memory"], memory,
+                             compute_dtype=compute_dtype)
+
+    mel_buf = jnp.zeros((T_max, B, n_mels), jnp.float32)
+    gate_buf = jnp.full((T_max, B), MASKED_GATE_ENERGY, jnp.float32)
+    align_buf = jnp.zeros((T_max, B, T_in), jnp.float32)
+
+    init = (0,
+            init_decoder_state(memory, cfg),
+            jnp.zeros((B, n_mels), jnp.float32),   # previous mel frame
+            jnp.zeros((B,), bool),                  # finished latch
+            jnp.zeros((B,), jnp.int32),             # per-row length
+            mel_buf, gate_buf, align_buf)
+
+    prenet_deterministic = not cfg.prenet_dropout_at_inference or rng is None
+
+    def cond(carry):
+        t, _, _, finished, *_ = carry
+        return jnp.logical_and(t < T_max, ~jnp.all(finished))
+
+    def body(carry):
+        t, state, prev_mel, finished, lengths, mels, gates, aligns = carry
+        step_rng = (jax.random.fold_in(rng, t) if rng is not None else None)
+        prenet_out = prenet_apply(dp["prenet"], prev_mel, step_rng,
+                                  deterministic=prenet_deterministic,
+                                  compute_dtype=compute_dtype)
+        state, (mel, gate, align) = decoder_step(
+            dp, state, prenet_out, memory, processed_memory, mask, cfg,
+            training=False, rng=None, compute_dtype=compute_dtype)
+
+        mels = mels.at[t].set(jnp.where(finished[:, None], 0.0, mel))
+        gates = gates.at[t].set(jnp.where(finished, MASKED_GATE_ENERGY, gate))
+        aligns = aligns.at[t].set(jnp.where(finished[:, None], 0.0, align))
+
+        # reference semantics: the crossing frame IS emitted, then stop
+        lengths = jnp.where(finished, lengths, t + 1)
+        finished = jnp.logical_or(
+            finished, jax.nn.sigmoid(gate) > cfg.gate_threshold)
+        return (t + 1, state, mel, finished, lengths, mels, gates, aligns)
+
+    (_, _, _, _, lengths, mel_buf, gate_buf, align_buf) = jax.lax.while_loop(
+        cond, body, init)
+
+    return (mel_buf.swapaxes(0, 1), gate_buf.swapaxes(0, 1),
+            align_buf.swapaxes(0, 1), lengths)
+
+
+# ======================================================================
+# Postnet
+# ======================================================================
+
+def postnet_apply(params: Params, stats: Params, mels: jnp.ndarray,
+                  cfg: Tacotron2Config, *, training: bool,
+                  rng: Optional[jax.Array] = None,
+                  compute_dtype=None) -> Tuple[jnp.ndarray, Params]:
+    """5x [conv5 -> batchnorm (-> tanh)] with dropout(0.5) after every layer
+    (reference Postnet, model.py:103-146). Returns the residual to add."""
+    x = mels
+    layers = params["postnet"]["convs"]
+    new_stats = []
+    for i, layer in enumerate(layers):
+        x = conv1d(layer["conv"], x, compute_dtype=compute_dtype)
+        x, s = batchnorm(layer["bn"], stats["postnet"]["convs"][i], x,
+                         training=training)
+        new_stats.append(s)
+        if i < len(layers) - 1:
+            x = jnp.tanh(x)
+        key = jax.random.fold_in(rng, i) if rng is not None else None
+        x = dropout(key, x, 0.5, deterministic=not training)
+    return x, {"postnet": {"convs": new_stats}}
+
+
+# ======================================================================
+# Full model
+# ======================================================================
+
+class ForwardOutput(NamedTuple):
+    mel: jnp.ndarray            # (B, T_out, n_mels)
+    mel_postnet: jnp.ndarray    # (B, T_out, n_mels)
+    gate_energies: jnp.ndarray  # (B, T_out)
+    alignments: jnp.ndarray     # (B, T_out, T_in)
+
+
+def mask_outputs(mel: jnp.ndarray, mel_postnet: jnp.ndarray,
+                 gate_energies: jnp.ndarray, output_lengths: jnp.ndarray,
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """parse_output equivalent (reference model.py:487-497): zero mels and
+    pin gate energies to 1e3 past each row's mel length."""
+    valid = length_mask(output_lengths, mel.shape[1])  # (B, T)
+    mel = jnp.where(valid[:, :, None], mel, 0.0)
+    mel_postnet = jnp.where(valid[:, :, None], mel_postnet, 0.0)
+    gate_energies = jnp.where(valid, gate_energies, MASKED_GATE_ENERGY)
+    return mel, mel_postnet, gate_energies
+
+
+def forward(params: Params, stats: Params, text: jnp.ndarray,
+            text_lengths: jnp.ndarray, mels: jnp.ndarray,
+            output_lengths: jnp.ndarray, cfg: Tacotron2Config, *,
+            training: bool, rng: Optional[jax.Array] = None,
+            compute_dtype=None) -> Tuple[ForwardOutput, Params]:
+    """Teacher-forced forward pass (reference Tacotron2.forward,
+    model.py:499-515). mels: (B, T_out, n_mels) targets."""
+    enc_rng = dec_rng = post_rng = None
+    if rng is not None:
+        enc_rng, dec_rng, post_rng = jax.random.split(rng, 3)
+
+    memory, enc_stats = encode(params, stats, text, text_lengths, cfg,
+                               training=training, rng=enc_rng,
+                               compute_dtype=compute_dtype)
+    mel_out, gate_energies, alignments = decode_teacher_forced(
+        params, memory, text_lengths, mels, cfg, training=training,
+        rng=dec_rng, compute_dtype=compute_dtype)
+    residual, post_stats = postnet_apply(params, stats, mel_out, cfg,
+                                         training=training, rng=post_rng,
+                                         compute_dtype=compute_dtype)
+    mel_postnet = mel_out + residual
+
+    if cfg.mask_padding:
+        mel_out, mel_postnet, gate_energies = mask_outputs(
+            mel_out, mel_postnet, gate_energies, output_lengths)
+
+    new_stats = {**enc_stats, **post_stats}
+    return ForwardOutput(mel_out, mel_postnet, gate_energies,
+                         alignments), new_stats
+
+
+def infer(params: Params, stats: Params, text: jnp.ndarray,
+          text_lengths: jnp.ndarray, cfg: Tacotron2Config, *,
+          rng: Optional[jax.Array] = None, max_steps: Optional[int] = None,
+          compute_dtype=None) -> InferenceResult:
+    """Batched text -> mel inference (reference Tacotron2.inference,
+    model.py:517-529, made batch-safe)."""
+    enc_rng = pre_rng = None
+    if rng is not None:
+        enc_rng, pre_rng = jax.random.split(rng)
+
+    memory, _ = encode(params, stats, text, text_lengths, cfg,
+                       training=False, rng=enc_rng,
+                       compute_dtype=compute_dtype)
+    mel, gate_energies, alignments, mel_lengths = decode_autoregressive(
+        params, memory, text_lengths, cfg, rng=pre_rng, max_steps=max_steps,
+        compute_dtype=compute_dtype)
+    residual, _ = postnet_apply(params, stats, mel, cfg, training=False,
+                                rng=None, compute_dtype=compute_dtype)
+    mel_postnet = mel + residual
+    mel, mel_postnet, gate_energies = mask_outputs(
+        mel, mel_postnet, gate_energies, mel_lengths)
+    return InferenceResult(mel, mel_postnet, gate_energies, alignments,
+                           mel_lengths)
