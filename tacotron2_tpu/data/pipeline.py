@@ -1,0 +1,114 @@
+"""Input pipeline: multi-host sharding, worker pool, host prefetch.
+
+Replaces the reference's single-worker torch DataLoader
+(/root/reference/train.py:55-58 — a known throughput ceiling, SURVEY §3.5)
+with a thread pool doing text+mel extraction and a double-buffered
+prefetcher so the host assembles batch N+1 while the device runs batch N.
+Multi-host: each process takes a strided slice of the dataset, the
+equivalent of torch's DistributedSampler (train.py:49,126).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+
+from tacotron2_tpu.config import Tacotron2Config
+from tacotron2_tpu.data.bucketing import BucketSampler, pad_batch
+from tacotron2_tpu.data.dataset import TextMelDataset
+from tacotron2_tpu.training.state import Batch
+
+
+class DataPipeline:
+    """Epoch iterator producing padded, bucketed ``Batch`` pytrees."""
+
+    def __init__(self, dataset: TextMelDataset, config: Tacotron2Config,
+                 batch_size: Optional[int] = None, drop_last: bool = True,
+                 num_workers: int = 8,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        self.dataset = dataset
+        self.config = config
+        self.num_workers = num_workers
+        pi = jax.process_index() if process_index is None else process_index
+        pc = jax.process_count() if process_count is None else process_count
+        # strided per-host shard of the (already seed-shuffled) dataset
+        self.indices = list(range(pi, len(dataset), pc))
+
+        # Length metadata for bucketing: text length is cheap (encode);
+        # mel length derives from the wav header-free formula used by the
+        # STFT (frames = 1 + samples // hop after center pad). To avoid
+        # decoding audio twice we compute lengths lazily on first epoch
+        # and cache them.
+        self._lengths: Optional[List[Tuple[int, int]]] = None
+        self.batch_size = batch_size or config.batch_size
+        self.drop_last = drop_last
+
+    def _compute_lengths(self) -> List[Tuple[int, int]]:
+        def one(i):
+            ids, mel = self.dataset[i]
+            return len(ids), mel.shape[1]
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            return list(pool.map(one, self.indices))
+
+    @property
+    def lengths(self) -> List[Tuple[int, int]]:
+        if self._lengths is None:
+            self._lengths = self._compute_lengths()
+        return self._lengths
+
+    def epoch(self, epoch_index: int) -> Iterator[Batch]:
+        """Deterministically shuffled epoch of padded batches."""
+        sampler = BucketSampler(self.lengths, self.config, self.batch_size,
+                                self.drop_last)
+        rng = np.random.RandomState(self.config.seed + epoch_index)
+
+        def assemble(shape_and_items):
+            (t_text, t_mel), item_idxs = shape_and_items
+            with ThreadPoolExecutor(min(self.num_workers, len(item_idxs))) as pool:
+                items = list(pool.map(
+                    lambda j: self.dataset[self.indices[j]], item_idxs))
+            arrays = pad_batch(items, t_text, t_mel,
+                               self.config.n_frames_per_step)
+            return Batch(*arrays)
+
+        for shape_and_items in sampler.batches(rng):
+            yield assemble(shape_and_items)
+
+    def steps_per_epoch(self) -> int:
+        sampler = BucketSampler(self.lengths, self.config, self.batch_size,
+                                self.drop_last)
+        return sum(1 for _ in sampler.batches(np.random.RandomState(0)))
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Run ``iterator`` in a background thread, keeping ``depth`` items
+    ready — overlaps host batch assembly with device compute."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    error: List[BaseException] = []
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate worker failures to consumer
+            error.append(e)
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error:
+                raise error[0]
+            return
+        yield item
