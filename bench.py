@@ -41,15 +41,17 @@ def main() -> None:
     batch = _make_batch(cfg, B=B, T_in=T_in, T_out=T_out)
     rng = jax.random.PRNGKey(1)
 
-    # warmup / compile
+    # warmup / compile. NOTE: sync via host transfer of the loss —
+    # block_until_ready alone does not reliably block on the tunneled
+    # axon platform.
     state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics)
+    float(metrics.loss)
 
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics)
+    float(metrics.loss)  # the final loss depends on every previous step
     dt = time.perf_counter() - t0
 
     frames_per_s = B * T_out * n_steps / dt / n_dev

@@ -71,6 +71,13 @@ class DataPipeline:
 
         def assemble(shape_and_items):
             (t_text, t_mel), item_idxs = shape_and_items
+            if len(item_idxs) < self.batch_size:
+                # pad partial (non-drop_last) batches to the full batch size
+                # by cycling items: keeps one compile shape per bucket and a
+                # dp-divisible batch dimension. Slightly overweights the
+                # repeated rows in validation averages.
+                reps = -(-self.batch_size // len(item_idxs))
+                item_idxs = (item_idxs * reps)[:self.batch_size]
             with ThreadPoolExecutor(min(self.num_workers, len(item_idxs))) as pool:
                 items = list(pool.map(
                     lambda j: self.dataset[self.indices[j]], item_idxs))

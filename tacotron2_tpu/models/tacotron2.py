@@ -209,11 +209,14 @@ def _attention(p: Params, att_hidden: jnp.ndarray, memory: jnp.ndarray,
     query = dense(p["query"], att_hidden, compute_dtype=compute_dtype)[:, None, :]
     energies = dense(p["v"], jnp.tanh(query + loc + processed_memory),
                      compute_dtype=compute_dtype)[..., 0]  # (B, T_in)
+    # softmax and the attention-weight state stay fp32 regardless of the
+    # compute dtype — cheap, and keeps the scan carry dtype stable.
+    energies = energies.astype(jnp.float32)
     if mask is not None:
         energies = jnp.where(mask, energies, -jnp.inf)
     weights = jax.nn.softmax(energies, axis=1)
     context = jnp.einsum("bt,bte->be", weights,
-                         memory.astype(weights.dtype))
+                         memory.astype(jnp.float32))
     return context, weights
 
 

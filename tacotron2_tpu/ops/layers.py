@@ -36,15 +36,23 @@ def dense_params(key: jax.Array, in_dim: int, out_dim: int, bias: bool = True,
 
 def dense(params: Params, x: jnp.ndarray,
           compute_dtype=None) -> jnp.ndarray:
-    """x: (..., in) -> (..., out). fp32 accumulation on the MXU."""
+    """x: (..., in) -> (..., out).
+
+    In mixed precision (compute_dtype=bf16) operands AND outputs are bf16 —
+    the TPU MXU still accumulates in fp32 internally, and keeping the output
+    dtype equal to the operand dtype keeps the conv/dot transpose rules
+    well-typed under jax.grad. The fp32 bias-add upcasts immediately after.
+    """
     kernel = params["kernel"]
+    pet = jnp.float32
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
+        pet = compute_dtype
     y = jax.lax.dot_general(
         x, kernel,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=pet)
     if "bias" in params:
         y = y + params["bias"]
     return y
@@ -67,16 +75,18 @@ def conv1d(params: Params, x: jnp.ndarray, *, padding: str = "SAME",
     """x: (B, T, C_in) -> (B, T', C_out). 'SAME' matches the reference's
     auto pad = dilation * (k - 1) / 2 for odd k (layers.py:26-27)."""
     kernel = params["kernel"]
+    pet = jnp.float32
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
+        pet = compute_dtype
     y = jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=(1,),
         padding=padding,
         rhs_dilation=(dilation,),
         dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=pet)
     if "bias" in params:
         y = y + params["bias"]
     return y

@@ -51,16 +51,19 @@ def lstm_cell(params: Params, x: jnp.ndarray, state: State,
     """
     h, c = state
     wi, wh = params["wi"], params["wh"]
+    pet = jnp.float32
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         h_in = h.astype(compute_dtype)
         wi = wi.astype(compute_dtype)
         wh = wh.astype(compute_dtype)
+        pet = compute_dtype  # bf16 out keeps grad transpose well-typed;
+        # the fp32 bias-add below upcasts, and (h, c) stay fp32 in the carry
     else:
         h_in = h
     gates = (
-        jnp.dot(x, wi, preferred_element_type=jnp.float32)
-        + jnp.dot(h_in, wh, preferred_element_type=jnp.float32)
+        jnp.dot(x, wi, preferred_element_type=pet)
+        + jnp.dot(h_in, wh, preferred_element_type=pet)
         + params["bi"] + params["bh"]
     )
     i, f, g, o = jnp.split(gates, 4, axis=-1)

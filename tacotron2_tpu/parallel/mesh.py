@@ -23,14 +23,17 @@ MODEL_AXIS = "mp"
 
 def create_mesh(shape: Optional[Tuple[int, int]] = None,
                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a (dp, mp) mesh. Default: all devices on the dp axis."""
+    """Build a (dp, mp) mesh. shape=None (or (1,1), the config default) means
+    "all devices on the dp axis"; an explicit shape may use a leading subset
+    of the devices."""
     devices = list(devices if devices is not None else jax.devices())
-    if shape is None:
+    if shape is None or tuple(shape) == (1, 1) and len(devices) > 1:
         shape = (len(devices), 1)
     dp, mp = shape
-    if dp * mp != len(devices):
-        raise ValueError(f"mesh shape {shape} != {len(devices)} devices")
-    dev_array = np.asarray(devices).reshape(dp, mp)
+    if dp * mp > len(devices):
+        raise ValueError(f"mesh shape {shape} needs {dp * mp} devices, "
+                         f"have {len(devices)}")
+    dev_array = np.asarray(devices[:dp * mp]).reshape(dp, mp)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 

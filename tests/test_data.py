@@ -140,8 +140,8 @@ class TestPipeline:
                             num_workers=2, process_index=0, process_count=1)
         batches = list(pipe.epoch(0))
         assert len(batches) >= 2
-        total = sum(b.text.shape[0] for b in batches)
-        assert total == 6
+        # partial batches are padded (by cycling) to the full batch size
+        assert all(b.text.shape[0] == 2 for b in batches)
         for b in batches:
             assert b.mel.shape[1] % CFG.mel_bucket_step == 0
             assert b.mel.shape[2] == CFG.n_mel_channels

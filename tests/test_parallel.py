@@ -55,9 +55,13 @@ class TestMesh:
         mesh = create_mesh((4, 2))
         assert mesh.shape == {"dp": 4, "mp": 2}
 
-    def test_bad_shape_rejected(self):
+    def test_subset_mesh_allowed(self):
+        mesh = create_mesh((3, 2))
+        assert mesh.shape == {"dp": 3, "mp": 2}
+
+    def test_oversized_shape_rejected(self):
         with pytest.raises(ValueError):
-            create_mesh((3, 2))
+            create_mesh((16, 1))
 
 
 class TestShardingRules:
