@@ -63,13 +63,26 @@ class TextMelDataset:
     """
 
     def __init__(self, filelist_path: str, config: Tacotron2Config,
-                 shuffle: bool = True):
+                 shuffle: bool = True, use_native: Optional[bool] = None):
         self.entries = load_filelist(filelist_path)
         self.config = config
         self.mel_config = MelConfig.from_config(config)
         if shuffle:
             rng = random.Random(config.seed)
             rng.shuffle(self.entries)
+        # native C++ DSP fast path (native/mel_extract.cc): auto-enabled
+        # when the library is built; identical numerics (tests/test_native.py)
+        self._native = None
+        if use_native is not False:
+            from tacotron2_tpu.data import native
+            if native.available():
+                try:
+                    self._native = native.NativeMelExtractor(self.mel_config)
+                except RuntimeError:
+                    self._native = None
+            elif use_native:
+                raise RuntimeError("native DSP requested but not built; "
+                                   "run native/build.sh")
 
     def __len__(self) -> int:
         return len(self.entries)
@@ -87,11 +100,17 @@ class TextMelDataset:
                     f"mel channel mismatch: {mel.shape[0]} != "
                     f"{self.config.n_mel_channels}")
             return mel.astype(np.float32)
-        audio, sr = load_wav(audio_path)
+        if self._native is not None:
+            from tacotron2_tpu.data import native
+            audio, sr = native.wav_read(audio_path)
+        else:
+            audio, sr = load_wav(audio_path)
         if sr != self.config.sampling_rate:
             raise ValueError(f"{audio_path}: sample rate {sr} != "
                              f"{self.config.sampling_rate}")
         audio = audio / self.config.max_wav_value
+        if self._native is not None:
+            return self._native.extract(audio)
         return mel_spectrogram_np(audio, self.mel_config)
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:

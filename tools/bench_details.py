@@ -1,0 +1,126 @@
+"""Extended benchmark: fills the BASELINE.md measurement matrix.
+
+Measures on the available device (the real TPU chip under the driver):
+  1. teacher-forced train step throughput (fp32 and bf16), mel-frames/s/chip
+  2. autoregressive inference RTF (gate forced to run max_steps — worst
+     case) at B=1 and B=8
+  3. WaveGlow-style vocoder inference RTF
+Writes BENCH_DETAILS.json. NOTE: sync via host transfers (block_until_ready
+is unreliable on the tunneled axon platform).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from tacotron2_tpu.config import Tacotron2Config
+from tacotron2_tpu.models import tacotron2, waveglow
+from tacotron2_tpu.parallel import create_mesh, create_sharded_state, \
+    make_train_step
+from __graft_entry__ import _make_batch
+
+RESULTS = {}
+FRAMES_PER_AUDIO_SEC = 22050 / 256
+
+
+def sync(x):
+    return float(np.asarray(x).ravel()[0])
+
+
+def bench_train(compute_dtype: str, B=32, T_in=128, T_out=512, n_steps=10):
+    cfg = Tacotron2Config(compute_dtype=compute_dtype, batch_size=B)
+    mesh = create_mesh((1, 1), jax.devices()[:1])
+    state = create_sharded_state(jax.random.PRNGKey(0), cfg, mesh)
+    step = make_train_step(cfg, mesh, state)
+    batch = _make_batch(cfg, B=B, T_in=T_in, T_out=T_out)
+    rng = jax.random.PRNGKey(1)
+    state, metrics = step(state, batch, rng)
+    sync(metrics.loss)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch, rng)
+    sync(metrics.loss)
+    dt = time.perf_counter() - t0
+    fps = B * T_out * n_steps / dt
+    RESULTS[f"train_{compute_dtype}_mel_frames_per_s"] = round(fps, 1)
+    RESULTS[f"train_{compute_dtype}_audio_sec_per_s"] = round(
+        fps / FRAMES_PER_AUDIO_SEC, 1)
+    RESULTS[f"train_{compute_dtype}_step_ms"] = round(dt / n_steps * 1e3, 1)
+    print(f"train[{compute_dtype}] {fps:,.0f} mel-frames/s "
+          f"({dt / n_steps * 1e3:.1f} ms/step)", flush=True)
+
+
+def bench_infer(B, T_in=128, steps=400):
+    # gate_threshold > 1 -> never stops early: measures the full decode
+    cfg = Tacotron2Config(prenet_dropout_at_inference=False,
+                          gate_threshold=1.5, max_decoder_steps=steps)
+    params, stats = tacotron2.init_params(jax.random.PRNGKey(0), cfg)
+
+    def run(text, lengths):
+        r = tacotron2.infer(params, stats, text, lengths, cfg)
+        return r.mel_postnet, r.mel_lengths
+
+    run_j = jax.jit(run)
+    rng = np.random.RandomState(0)
+    text = jnp.asarray(rng.randint(1, 148, (B, T_in)).astype(np.int32))
+    lengths = jnp.full((B,), T_in, jnp.int32)
+    mel, _ = run_j(text, lengths)
+    sync(mel)
+    n_rep = 3
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        mel, _ = run_j(text, lengths)
+    sync(mel)
+    dt = (time.perf_counter() - t0) / n_rep
+    audio_sec = B * steps / FRAMES_PER_AUDIO_SEC
+    rtf = dt / audio_sec
+    RESULTS[f"infer_b{B}_rtf"] = round(rtf, 4)
+    RESULTS[f"infer_b{B}_frames_per_s"] = round(B * steps / dt, 1)
+    RESULTS[f"infer_b{B}_ms_per_frame"] = round(dt / steps * 1e3, 3)
+    print(f"infer[B={B}] RTF {rtf:.4f} ({B * steps / dt:,.0f} frames/s, "
+          f"{dt / steps * 1e3:.2f} ms/frame-step)", flush=True)
+
+
+def bench_vocoder(B=1, T_mel=400):
+    cfg = waveglow.WaveGlowConfig()
+    params = waveglow.init_params(jax.random.PRNGKey(0), cfg)
+    mel = jnp.asarray(np.random.RandomState(0).randn(
+        B, T_mel, cfg.n_mel_channels).astype(np.float32))
+    run = jax.jit(lambda m: waveglow.infer(params, m, cfg, sigma=0.666,
+                                           key=jax.random.PRNGKey(1)))
+    audio = run(mel)
+    sync(audio)
+    n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        audio = run(mel)
+    sync(audio)
+    dt = (time.perf_counter() - t0) / n_rep
+    audio_sec = B * T_mel / FRAMES_PER_AUDIO_SEC
+    RESULTS[f"vocoder_b{B}_rtf"] = round(dt / audio_sec, 4)
+    RESULTS[f"vocoder_b{B}_audio_sec_per_s"] = round(audio_sec / dt, 1)
+    print(f"vocoder[B={B}] RTF {dt / audio_sec:.4f} "
+          f"({audio_sec / dt:,.1f} audio-sec/s)", flush=True)
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices(), flush=True)
+    bench_train("bfloat16")
+    bench_train("float32")
+    bench_infer(B=1)
+    bench_infer(B=8)
+    bench_vocoder(B=1, T_mel=400)
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_DETAILS.json"), "w") as f:
+        json.dump(RESULTS, f, indent=2)
+    print(json.dumps(RESULTS, indent=2))
