@@ -91,6 +91,12 @@ class Tacotron2Config:
     # Prenet dropout is active even at inference in the reference
     # (model.py:99); keep that as the default but allow turning it off.
     prenet_dropout_at_inference: bool = True
+    # Decoder scan unrolling: amortizes per-step loop overhead on TPU at
+    # the cost of compile time. 1 = no unroll.
+    decoder_scan_unroll: int = 1
+    # Rematerialize the decoder step in the backward pass (trade FLOPs for
+    # HBM when training long sequences / large batches).
+    remat_decoder: bool = False
 
     def replace(self, **kw) -> "Tacotron2Config":
         return dataclasses.replace(self, **kw)

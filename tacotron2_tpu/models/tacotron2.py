@@ -298,8 +298,12 @@ def decode_teacher_forced(params: Params, memory: jnp.ndarray,
             training=training, rng=rng_t, compute_dtype=compute_dtype)
         return new_state, outs
 
+    if cfg.remat_decoder:
+        step = jax.checkpoint(step)
+
     xs = (jnp.arange(T_out), prenet_out.swapaxes(0, 1))
-    _, (mel_outputs, gate_energies, alignments) = jax.lax.scan(step, state, xs)
+    _, (mel_outputs, gate_energies, alignments) = jax.lax.scan(
+        step, state, xs, unroll=cfg.decoder_scan_unroll)
     return (mel_outputs.swapaxes(0, 1), gate_energies.swapaxes(0, 1),
             alignments.swapaxes(0, 1))
 
