@@ -1,0 +1,136 @@
+"""Batched TTS serving.
+
+Production-facing piece with no reference equivalent (the reference's
+inference path is a B=1 notebook): a micro-batching synthesizer that
+coalesces concurrent requests into fixed-shape batches (one jit compilation
+per text bucket), runs them through the batched gate-latched decoder, and
+resolves per-request futures. Padding rows make every batch the same shape,
+so the hot path never recompiles.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tacotron2_tpu.config import Tacotron2Config
+from tacotron2_tpu.data.bucketing import text_bucket
+from tacotron2_tpu.models import tacotron2
+from tacotron2_tpu.text import text_to_sequence
+
+
+class BatchingSynthesizer:
+    """Submit texts from any thread; batches run on the device worker.
+
+    Usage:
+        synth = BatchingSynthesizer(params, stats, cfg, max_batch=8)
+        future = synth.submit("Hello world.")
+        mel, alignment, n_frames = future.result()
+        synth.close()
+    """
+
+    def __init__(self, params, stats, config: Tacotron2Config,
+                 max_batch: int = 8, max_wait_ms: float = 5.0,
+                 max_steps: Optional[int] = None,
+                 deterministic: bool = True):
+        self.params = params
+        self.stats = stats
+        self.config = (config.replace(prenet_dropout_at_inference=False)
+                       if deterministic else config)
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self.max_steps = max_steps or config.max_decoder_steps
+        self._queue: "queue.Queue" = queue.Queue()
+        self._jitted = {}
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------- API
+
+    def submit(self, text: str) -> Future:
+        if self._closed:
+            raise RuntimeError("synthesizer is closed")
+        ids = np.asarray(text_to_sequence(text, self.config.text_cleaners),
+                         np.int32)
+        future: Future = Future()
+        self._queue.put((ids, future))
+        return future
+
+    def synthesize(self, texts: Sequence[str]) -> List:
+        return [f.result() for f in [self.submit(t) for t in texts]]
+
+    def close(self) -> None:
+        self._closed = True
+        self._queue.put(None)
+        self._worker.join()
+
+    # ---------------------------------------------------------- worker
+
+    def _infer_fn(self, t_text: int):
+        """One jitted inference per text-bucket length."""
+        if t_text not in self._jitted:
+            cfg = self.config
+
+            def run(text, lengths):
+                res = tacotron2.infer(self.params, self.stats, text, lengths,
+                                      cfg, max_steps=self.max_steps)
+                return res.mel_postnet, res.alignments, res.mel_lengths
+
+            self._jitted[t_text] = jax.jit(run)
+        return self._jitted[t_text]
+
+    def _collect(self):
+        """Pull up to max_batch requests, waiting max_wait_ms after the
+        first one arrives."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        items = [first]
+        while len(items) < self.max_batch:
+            try:
+                item = self._queue.get(timeout=self.max_wait_ms / 1000.0)
+            except queue.Empty:
+                break
+            if item is None:
+                self._queue.put(None)  # re-post the shutdown signal
+                break
+            items.append(item)
+        return items
+
+    def _run(self) -> None:
+        buckets = self.config.text_buckets
+        while True:
+            items = self._collect()
+            if items is None:
+                return
+            try:
+                max_len = max(len(ids) for ids, _ in items)
+                t_text = text_bucket(max_len, buckets)
+                B = self.max_batch  # fixed batch shape: pad with repeats
+                text = np.zeros((B, t_text), np.int32)
+                lengths = np.ones((B,), np.int32)
+                for i, (ids, _) in enumerate(items):
+                    n = min(len(ids), t_text)
+                    text[i, :n] = ids[:n]
+                    lengths[i] = n
+                mel, align, mel_lengths = self._infer_fn(t_text)(
+                    jnp.asarray(text), jnp.asarray(lengths))
+                mel = np.asarray(mel)
+                align = np.asarray(align)
+                mel_lengths = np.asarray(mel_lengths)
+                for i, (ids, future) in enumerate(items):
+                    n = int(mel_lengths[i])
+                    future.set_result((mel[i, :n], align[i, :n, :lengths[i]],
+                                       n))
+            except BaseException as e:  # propagate to all waiters
+                for _, future in items:
+                    if not future.done():
+                        future.set_exception(e)

@@ -1,0 +1,58 @@
+"""Micro-batching synthesizer tests."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tacotron2_tpu.config import Tacotron2Config
+from tacotron2_tpu.models.tacotron2 import init_params
+from tacotron2_tpu.serve import BatchingSynthesizer
+
+CFG = Tacotron2Config(
+    n_symbols=148, symbols_embedding_dim=16, encoder_embedding_dim=16,
+    encoder_n_convolutions=2, attention_rnn_dim=20, decoder_rnn_dim=24,
+    prenet_dim=8, attention_dim=12, attention_location_n_filters=4,
+    attention_location_kernel_size=7, postnet_embedding_dim=16,
+    postnet_n_convolutions=3, n_mel_channels=8, max_decoder_steps=10,
+    text_buckets=(16, 32),
+)
+
+
+@pytest.fixture(scope="module")
+def synth():
+    params, stats = init_params(jax.random.PRNGKey(0), CFG)
+    s = BatchingSynthesizer(params, stats, CFG, max_batch=4, max_wait_ms=20)
+    yield s
+    s.close()
+
+
+def test_single_request(synth):
+    mel, align, n = synth.submit("hello world").result(timeout=120)
+    assert 1 <= n <= CFG.max_decoder_steps
+    assert mel.shape == (n, CFG.n_mel_channels)
+    assert align.shape[0] == n
+
+
+def test_concurrent_requests_batched(synth):
+    texts = ["first utterance", "second one", "third", "a fourth request"]
+    results = synth.synthesize(texts)
+    assert len(results) == 4
+    for mel, align, n in results:
+        assert mel.shape == (n, CFG.n_mel_channels)
+
+
+def test_batched_equals_individual(synth):
+    """Micro-batching must not change results (deterministic mode)."""
+    text = "consistency check"
+    r1 = synth.submit(text).result(timeout=120)
+    r2 = synth.submit(text).result(timeout=120)
+    np.testing.assert_allclose(r1[0], r2[0], atol=1e-5)
+
+
+def test_closed_rejects(synth):
+    params, stats = init_params(jax.random.PRNGKey(0), CFG)
+    s = BatchingSynthesizer(params, stats, CFG, max_batch=2)
+    s.close()
+    with pytest.raises(RuntimeError):
+        s.submit("too late")
