@@ -97,6 +97,10 @@ class Tacotron2Config:
     # Rematerialize the decoder step in the backward pass (trade FLOPs for
     # HBM when training long sequences / large batches).
     remat_decoder: bool = False
+    # Debug mode: raise on the first NaN produced anywhere under jit
+    # (jax.config.jax_debug_nans) — the functional-model analog of the
+    # reference's overflow diagnostics. Slows execution; off by default.
+    debug_nans: bool = False
 
     def replace(self, **kw) -> "Tacotron2Config":
         return dataclasses.replace(self, **kw)

@@ -75,16 +75,21 @@ class BatchingSynthesizer:
     # ---------------------------------------------------------- worker
 
     def _infer_fn(self, t_text: int):
-        """One jitted inference per text-bucket length."""
+        """One jitted inference per text-bucket length. Params are jit
+        ARGUMENTS (closures would bake them into the program as literals —
+        huge compile payloads for big models)."""
         if t_text not in self._jitted:
             cfg = self.config
 
-            def run(text, lengths):
-                res = tacotron2.infer(self.params, self.stats, text, lengths,
+            def run(params, stats, text, lengths):
+                res = tacotron2.infer(params, stats, text, lengths,
                                       cfg, max_steps=self.max_steps)
                 return res.mel_postnet, res.alignments, res.mel_lengths
 
-            self._jitted[t_text] = jax.jit(run)
+            jitted = jax.jit(run)
+            self._jitted[t_text] = (
+                lambda text, lengths: jitted(self.params, self.stats,
+                                             text, lengths))
         return self._jitted[t_text]
 
     def _collect(self):

@@ -33,6 +33,8 @@ class Trainer:
                  checkpoint_path: Optional[str] = None,
                  warm_start_path: Optional[str] = None):
         initialize_distributed()
+        if config.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.config = config
         # mesh_shape=(1,1) (the default) means all devices on dp
         self.mesh = create_mesh(

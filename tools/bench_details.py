@@ -96,14 +96,16 @@ def bench_vocoder(B=1, T_mel=400):
     params = waveglow.init_params(jax.random.PRNGKey(0), cfg)
     mel = jnp.asarray(np.random.RandomState(0).randn(
         B, T_mel, cfg.n_mel_channels).astype(np.float32))
-    run = jax.jit(lambda m: waveglow.infer(params, m, cfg, sigma=0.666,
-                                           key=jax.random.PRNGKey(1)))
-    audio = run(mel)
+    # params must be a jit ARGUMENT: closures embed them as literals in the
+    # program, blowing past the remote-compile request size limit
+    run = jax.jit(lambda p, m: waveglow.infer(p, m, cfg, sigma=0.666,
+                                              key=jax.random.PRNGKey(1)))
+    audio = run(params, mel)
     sync(audio)
     n_rep = 5
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        audio = run(mel)
+        audio = run(params, mel)
     sync(audio)
     dt = (time.perf_counter() - t0) / n_rep
     audio_sec = B * T_mel / FRAMES_PER_AUDIO_SEC
@@ -113,14 +115,36 @@ def bench_vocoder(B=1, T_mel=400):
           f"({audio_sec / dt:,.1f} audio-sec/s)", flush=True)
 
 
+def _save():
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_DETAILS.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged.update(RESULTS)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
+
+
 if __name__ == "__main__":
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument("stages", nargs="*", default=[],
+                        help="subset of: train_bf16 train_fp32 infer1 "
+                             "infer8 vocoder (default: all)")
+    args = parser.parse_args()
+    stages = set(args.stages) or {"train_bf16", "train_fp32", "infer1",
+                                  "infer8", "vocoder"}
     print("devices:", jax.devices(), flush=True)
-    bench_train("bfloat16")
-    bench_train("float32")
-    bench_infer(B=1)
-    bench_infer(B=8)
-    bench_vocoder(B=1, T_mel=400)
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH_DETAILS.json"), "w") as f:
-        json.dump(RESULTS, f, indent=2)
+    if "train_bf16" in stages:
+        bench_train("bfloat16"); _save()
+    if "train_fp32" in stages:
+        bench_train("float32"); _save()
+    if "infer1" in stages:
+        bench_infer(B=1); _save()
+    if "infer8" in stages:
+        bench_infer(B=8); _save()
+    if "vocoder" in stages:
+        bench_vocoder(B=1, T_mel=400); _save()
     print(json.dumps(RESULTS, indent=2))
