@@ -75,3 +75,15 @@ def mel_spectrogram(y: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
 def mel_frames_for_samples(cfg: MelConfig, num_samples: int) -> int:
     from tacotron2_tpu.audio.stft import n_frames_for_samples
     return n_frames_for_samples(cfg.stft, num_samples)
+
+
+def mel_spectrogram_backend(y: jnp.ndarray, cfg: MelConfig,
+                            backend: str = "xla") -> jnp.ndarray:
+    """Select among the interchangeable device implementations:
+    'xla' (two fused matmuls) or 'pallas' (single fused kernel)."""
+    if backend == "xla":
+        return mel_spectrogram(y, cfg)
+    if backend == "pallas":
+        from tacotron2_tpu.kernels import mel_spectrogram_pallas
+        return mel_spectrogram_pallas(y, cfg)
+    raise ValueError(f"unknown mel backend {backend!r}")
