@@ -136,7 +136,6 @@ def synthesize(params, stats, texts: Sequence[str], cfg: Tacotron2Config, *,
 
 def main() -> None:
     from tacotron2_tpu.config import create_config
-    from tacotron2_tpu.models.tacotron2 import init_params
     from tacotron2_tpu.training.checkpoint import Checkpointer
     from tacotron2_tpu.training.state import create_train_state
 

@@ -18,8 +18,6 @@ VMEM budget at n_fft=1024: bases 2 x 2.1 MB + mel 0.16 MB + frames
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,13 +9,13 @@ The gradient all-reduce the reference implements by hand
 from __future__ import annotations
 
 import functools
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tacotron2_tpu.config import Tacotron2Config
-from tacotron2_tpu.parallel.mesh import DATA_AXIS, create_mesh
+from tacotron2_tpu.parallel.mesh import DATA_AXIS
 from tacotron2_tpu.parallel.sharding import tree_shardings
 from tacotron2_tpu.training.state import (
     TrainState, create_train_state, eval_step, train_step,

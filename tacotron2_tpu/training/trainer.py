@@ -10,14 +10,14 @@ sharded train step (per bucket shape), host prefetch, async checkpoints.
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
 import jax
 
 from tacotron2_tpu.config import Tacotron2Config
-from tacotron2_tpu.data import DataPipeline, TextMelDataset, prefetch
+from tacotron2_tpu.data import DataPipeline, prefetch
 from tacotron2_tpu.parallel import (
     create_mesh, create_sharded_state, initialize_distributed, make_eval_step,
     make_train_step, shard_tree,
