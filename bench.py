@@ -31,7 +31,11 @@ def main() -> None:
         make_train_step
     from __graft_entry__ import _make_batch
 
-    cfg = Tacotron2Config(compute_dtype="bfloat16", batch_size=32)
+    # B=128 + unroll=4 won the round-1 sweep (tools/bench_details.py /
+    # BENCH_DETAILS.json): B>=128 fills the 128-row MXU, unroll amortizes
+    # scan-step overhead. B=256 needs remat and is net slower.
+    cfg = Tacotron2Config(compute_dtype="bfloat16", batch_size=128,
+                          decoder_scan_unroll=4)
     B, T_in, T_out = cfg.batch_size, 128, 512
 
     n_dev = len(jax.devices())
