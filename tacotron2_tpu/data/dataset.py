@@ -123,3 +123,43 @@ def _npy_path(audio_path: str) -> str:
         return audio_path
     base, _ = os.path.splitext(audio_path)
     return base + ".npy"
+
+
+def wav_num_samples(path: str) -> int:
+    """Sample count from the RIFF header alone (no decode) — lets the
+    bucketing pass compute mel lengths (1 + n // hop) without extracting
+    a single spectrogram."""
+    import struct
+    with open(path, "rb") as f:
+        if f.read(4) != b"RIFF":
+            raise ValueError(f"{path}: not a RIFF file")
+        f.seek(8)
+        if f.read(4) != b"WAVE":
+            raise ValueError(f"{path}: not a WAVE file")
+        bits, channels = 16, 1
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                raise ValueError(f"{path}: no data chunk")
+            tag, size = header[:4], struct.unpack("<I", header[4:])[0]
+            if tag == b"fmt ":
+                fmt = f.read(size)
+                channels = struct.unpack("<H", fmt[2:4])[0]
+                bits = struct.unpack("<H", fmt[14:16])[0]
+            elif tag == b"data":
+                return size // (bits // 8) // channels
+            else:
+                f.seek(size + (size & 1), 1)
+
+
+def item_lengths(entry: List[str], config: Tacotron2Config) -> Tuple[int, int]:
+    """(text_len, mel_len) for one filelist entry, decoding nothing."""
+    from tacotron2_tpu.text import text_to_sequence
+    audio_path, text = entry[0], entry[1]
+    text_len = len(text_to_sequence(text, config.text_cleaners))
+    if config.load_mel_from_disk or audio_path.endswith(".npy"):
+        mel = np.load(_npy_path(audio_path), mmap_mode="r")
+        mel_len = mel.shape[1]
+    else:
+        mel_len = 1 + wav_num_samples(audio_path) // config.hop_length
+    return text_len, mel_len

@@ -41,19 +41,18 @@ class DataPipeline:
         # strided per-host shard of the (already seed-shuffled) dataset
         self.indices = list(range(pi, len(dataset), pc))
 
-        # Length metadata for bucketing: text length is cheap (encode);
-        # mel length derives from the wav header-free formula used by the
-        # STFT (frames = 1 + samples // hop after center pad). To avoid
-        # decoding audio twice we compute lengths lazily on first epoch
-        # and cache them.
+        # Length metadata for bucketing: text length from encoding, mel
+        # length from the WAV header sample count (1 + n // hop) — no audio
+        # is decoded during this pass. Computed lazily, cached.
         self._lengths: Optional[List[Tuple[int, int]]] = None
         self.batch_size = batch_size or config.batch_size
         self.drop_last = drop_last
 
     def _compute_lengths(self) -> List[Tuple[int, int]]:
+        from tacotron2_tpu.data.dataset import item_lengths
+
         def one(i):
-            ids, mel = self.dataset[i]
-            return len(ids), mel.shape[1]
+            return item_lengths(self.dataset.entries[i], self.config)
         with ThreadPoolExecutor(self.num_workers) as pool:
             return list(pool.map(one, self.indices))
 
