@@ -31,11 +31,12 @@ def main() -> None:
         make_train_step
     from __graft_entry__ import _make_batch
 
-    # B=128 + unroll=4 won the round-1 sweep (tools/bench_details.py /
-    # BENCH_DETAILS.json): B>=128 fills the 128-row MXU, unroll amortizes
-    # scan-step overhead. B=256 needs remat and is net slower.
+    # Tuned by the round-1 sweep (PERFORMANCE.md): B>=128 fills the
+    # 128-row MXU, unroll=4 amortizes scan bookkeeping, hardware RNG for
+    # dropout keys is +16%. B=256 needs remat and is net slower.
+    jax.config.update("jax_default_prng_impl", "unsafe_rbg")
     cfg = Tacotron2Config(compute_dtype="bfloat16", batch_size=128,
-                          decoder_scan_unroll=4)
+                          decoder_scan_unroll=4, prng_impl="unsafe_rbg")
     B, T_in, T_out = cfg.batch_size, 128, 512
 
     n_dev = len(jax.devices())

@@ -35,6 +35,8 @@ class Trainer:
         initialize_distributed()
         if config.debug_nans:
             jax.config.update("jax_debug_nans", True)
+        if config.prng_impl != "threefry":
+            jax.config.update("jax_default_prng_impl", config.prng_impl)
         self.config = config
         # mesh_shape=(1,1) (the default) means all devices on dp
         self.mesh = create_mesh(
