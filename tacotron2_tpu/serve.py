@@ -40,8 +40,11 @@ class BatchingSynthesizer:
                  max_batch: int = 8, max_wait_ms: float = 5.0,
                  max_steps: Optional[int] = None,
                  deterministic: bool = True):
-        self.params = params
-        self.stats = stats
+        # pin to device once: host-side (numpy) pytrees passed to a jitted
+        # function re-upload on EVERY call — catastrophic over a tunneled
+        # device link
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.stats = jax.tree.map(jnp.asarray, stats)
         self.config = (config.replace(prenet_dropout_at_inference=False)
                        if deterministic else config)
         self.max_batch = max_batch
