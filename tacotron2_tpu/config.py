@@ -110,6 +110,14 @@ class Tacotron2Config:
     def replace(self, **kw) -> "Tacotron2Config":
         return dataclasses.replace(self, **kw)
 
+    @property
+    def jax_compute_dtype(self):
+        """None (full fp32) or a jnp dtype for mixed-precision matmuls."""
+        if self.compute_dtype == "float32":
+            return None
+        import jax.numpy as jnp
+        return {"bfloat16": jnp.bfloat16}[self.compute_dtype]
+
 
 _LIST_SPLIT = re.compile(r"[;+]")
 

@@ -92,7 +92,8 @@ def synthesize(params, stats, texts: Sequence[str], cfg: Tacotron2Config, *,
     'waveglow'."""
     text_ids, text_lengths = encode_texts(texts, cfg)
     result = tacotron2.infer(params, stats, text_ids, text_lengths, cfg,
-                             rng=rng, max_steps=max_steps)
+                             rng=rng, max_steps=max_steps,
+                             compute_dtype=cfg.jax_compute_dtype)
     mel = result.mel_postnet  # (B, T_max, n_mels)
 
     audio_batch = None

@@ -86,7 +86,8 @@ class BatchingSynthesizer:
 
             def run(params, stats, text, lengths):
                 res = tacotron2.infer(params, stats, text, lengths,
-                                      cfg, max_steps=self.max_steps)
+                                      cfg, max_steps=self.max_steps,
+                                      compute_dtype=cfg.jax_compute_dtype)
                 return res.mel_postnet, res.alignments, res.mel_lengths
 
             jitted = jax.jit(run)
