@@ -33,11 +33,26 @@ def main() -> None:
                         help="write a filelist pointing at the cached .npy")
     parser.add_argument("--hparams", default=None)
     parser.add_argument("--workers", type=int, default=16)
+    parser.add_argument("--device", action="store_true",
+                        help="extract on the TPU with the fused Pallas mel "
+                             "kernel (2.1x the XLA path; see PERFORMANCE.md) "
+                             "instead of host CPU")
     args = parser.parse_args()
 
     cfg = create_config(args.hparams)
     mel_cfg = MelConfig.from_config(cfg)
     entries = load_filelist(args.filelist)
+
+    device_extract = None
+    if args.device:
+        import jax.numpy as jnp
+        from tacotron2_tpu.kernels import mel_spectrogram_pallas
+
+        def device_extract(audio):
+            # one utterance per call; batched-by-length batching would be
+            # faster still, but cache generation is a one-time pass
+            mel = mel_spectrogram_pallas(jnp.asarray(audio)[None], mel_cfg)
+            return np.asarray(mel[0])
 
     def process(entry):
         audio_path = entry[0]
@@ -46,11 +61,14 @@ def main() -> None:
             audio, sr = load_wav(audio_path)
             if sr != cfg.sampling_rate:
                 raise ValueError(f"{audio_path}: sr {sr}")
-            mel = mel_spectrogram_np(audio / cfg.max_wav_value, mel_cfg)
+            audio = audio / cfg.max_wav_value
+            mel = (device_extract(audio) if device_extract is not None
+                   else mel_spectrogram_np(audio, mel_cfg))
             np.save(npy_path, mel)
         return [npy_path] + list(entry[1:])
 
-    with ThreadPoolExecutor(args.workers) as pool:
+    workers = 1 if args.device else args.workers
+    with ThreadPoolExecutor(workers) as pool:
         new_entries = list(pool.map(process, entries))
 
     if args.out:
