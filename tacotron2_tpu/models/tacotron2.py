@@ -273,9 +273,19 @@ def decode_teacher_forced(params: Params, memory: jnp.ndarray,
     """
     dp = params["decoder"]
     B, T_out, n_mels = mels.shape
-    go = jnp.zeros((B, 1, n_mels), mels.dtype)
-    # inputs to steps 0..T-1 are [go, mel_0, ..., mel_{T-2}]
-    decoder_inputs = jnp.concatenate([go, mels[:, :-1]], axis=1)
+    r = cfg.n_frames_per_step
+    if T_out % r:
+        raise ValueError(f"T_out={T_out} not a multiple of "
+                         f"n_frames_per_step={r} (pad in the collate)")
+    T_steps = T_out // r
+    # Reduction factor r: each decoder step consumes/emits a GROUP of r
+    # frames (the reference declares n_frames_per_step but hardcodes r=1,
+    # hparams.py:56 "currently only 1 is supported"; here r>1 works and
+    # cuts decoder sequential steps by r — see PERFORMANCE.md).
+    grouped = mels.reshape(B, T_steps, n_mels * r)
+    go = jnp.zeros((B, 1, n_mels * r), mels.dtype)
+    # inputs to steps 0..T_steps-1 are [go, group_0, ..., group_{T-2}]
+    decoder_inputs = jnp.concatenate([go, grouped[:, :-1]], axis=1)
 
     prenet_rng = jax.random.fold_in(rng, 100) if rng is not None else None
     prenet_out = prenet_apply(dp["prenet"], decoder_inputs, prenet_rng,
@@ -301,11 +311,15 @@ def decode_teacher_forced(params: Params, memory: jnp.ndarray,
     if cfg.remat_decoder:
         step = jax.checkpoint(step)
 
-    xs = (jnp.arange(T_out), prenet_out.swapaxes(0, 1))
+    xs = (jnp.arange(T_steps), prenet_out.swapaxes(0, 1))
     _, (mel_outputs, gate_energies, alignments) = jax.lax.scan(
         step, state, xs, unroll=cfg.decoder_scan_unroll)
-    return (mel_outputs.swapaxes(0, 1), gate_energies.swapaxes(0, 1),
-            alignments.swapaxes(0, 1))
+    # (T_steps, B, n_mels*r) -> (B, T_out, n_mels); gate/alignment values
+    # are per group-step, repeated r times to per-frame resolution
+    mel_outputs = mel_outputs.swapaxes(0, 1).reshape(B, T_out, n_mels)
+    gate_energies = jnp.repeat(gate_energies.swapaxes(0, 1), r, axis=1)
+    alignments = jnp.repeat(alignments.swapaxes(0, 1), r, axis=1)
+    return mel_outputs, gate_energies, alignments
 
 
 class InferenceResult(NamedTuple):
@@ -333,7 +347,8 @@ def decode_autoregressive(params: Params, memory: jnp.ndarray,
     """
     dp = params["decoder"]
     B, T_in, _ = memory.shape
-    n_mels = cfg.n_mel_channels * cfg.n_frames_per_step
+    r = cfg.n_frames_per_step
+    n_mels = cfg.n_mel_channels * r  # one decoder step emits a group of r
     T_max = max_steps or cfg.max_decoder_steps
 
     mask = (length_mask(memory_lengths, T_in)
@@ -381,8 +396,14 @@ def decode_autoregressive(params: Params, memory: jnp.ndarray,
     (_, _, _, _, lengths, mel_buf, gate_buf, align_buf) = jax.lax.while_loop(
         cond, body, init)
 
-    return (mel_buf.swapaxes(0, 1), gate_buf.swapaxes(0, 1),
-            align_buf.swapaxes(0, 1), lengths)
+    # ungroup to per-frame resolution: (T_max, B, n_mels*r) ->
+    # (B, T_max*r, n_mels); gate/alignments repeat within each group;
+    # lengths are decoder steps -> frames
+    mel_frames = (mel_buf.swapaxes(0, 1)
+                  .reshape(B, T_max * r, cfg.n_mel_channels))
+    gate_frames = jnp.repeat(gate_buf.swapaxes(0, 1), r, axis=1)
+    align_frames = jnp.repeat(align_buf.swapaxes(0, 1), r, axis=1)
+    return mel_frames, gate_frames, align_frames, lengths * r
 
 
 # ======================================================================
