@@ -72,7 +72,10 @@ class Trainer:
 
     def fit(self, train_pipeline: DataPipeline,
             val_pipeline: Optional[DataPipeline] = None,
-            epochs: Optional[int] = None) -> TrainState:
+            epochs: Optional[int] = None,
+            lr_schedule=None) -> TrainState:
+        """lr_schedule: optional step -> lr callable
+        (training/schedules.py); None keeps the constant config lr."""
         cfg = self.config
         epochs = epochs if epochs is not None else cfg.epochs
         steps_per_epoch = train_pipeline.steps_per_epoch()
@@ -85,6 +88,8 @@ class Trainer:
                 print(f"Epoch {epoch}")
             for batch in prefetch(train_pipeline.epoch(epoch), depth=2):
                 t0 = time.perf_counter()
+                if lr_schedule is not None:
+                    self.set_learning_rate(lr_schedule(int(self.state.step)))
                 self.state, metrics = self.train_step_fn(
                     self.state, batch, self.rng)
                 loss = float(metrics.loss)
