@@ -67,6 +67,7 @@ class DataPipeline:
         sampler = BucketSampler(self.lengths, self.config, self.batch_size,
                                 self.drop_last)
         rng = np.random.RandomState(self.config.seed + epoch_index)
+        pool = self._pool()
 
         def assemble(shape_and_items):
             (t_text, t_mel), item_idxs = shape_and_items
@@ -77,15 +78,22 @@ class DataPipeline:
                 # repeated rows in validation averages.
                 reps = -(-self.batch_size // len(item_idxs))
                 item_idxs = (item_idxs * reps)[:self.batch_size]
-            with ThreadPoolExecutor(min(self.num_workers, len(item_idxs))) as pool:
-                items = list(pool.map(
-                    lambda j: self.dataset[self.indices[j]], item_idxs))
+            items = list(pool.map(
+                lambda j: self.dataset[self.indices[j]], item_idxs))
             arrays = pad_batch(items, t_text, t_mel,
                                self.config.n_frames_per_step)
             return Batch(*arrays)
 
         for shape_and_items in sampler.batches(rng):
             yield assemble(shape_and_items)
+
+    def _pool(self) -> ThreadPoolExecutor:
+        """Persistent worker pool (one per pipeline, lazily created)."""
+        pool = getattr(self, "_worker_pool", None)
+        if pool is None:
+            pool = ThreadPoolExecutor(self.num_workers)
+            self._worker_pool = pool
+        return pool
 
     def steps_per_epoch(self) -> int:
         sampler = BucketSampler(self.lengths, self.config, self.batch_size,

@@ -57,6 +57,8 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=300)
     parser.add_argument("--outdir", default="demo_run")
     parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--hparams", default=None,
+                        help="extra config overrides, e.g. n_frames_per_step=2")
     args = parser.parse_args()
 
     from tacotron2_tpu.config import Tacotron2Config
@@ -68,6 +70,9 @@ def main() -> None:
         decoder_scan_unroll=4, iters_per_checkpoint=max(args.steps // 2, 1),
         text_buckets=(32, 48), mel_bucket_step=128, max_mel_length=512,
         learning_rate=1e-3)
+    if args.hparams:
+        from tacotron2_tpu.config import parse_overrides
+        cfg = parse_overrides(cfg, args.hparams)
 
     filelist = build_corpus(os.path.join(args.outdir, "corpus"))
     dataset = TextMelDataset(filelist, cfg)
