@@ -44,6 +44,12 @@ class Trainer:
         self.checkpointer = Checkpointer(output_directory)
         self.logger = MetricLogger(f"{output_directory}/{log_directory}")
         self.rng = jax.random.PRNGKey(config.seed)
+        if jax.process_index() == 0:
+            # reproducibility snapshot of the exact configuration
+            import dataclasses, json, os
+            with open(os.path.join(output_directory, "config.json"),
+                      "w") as f:
+                json.dump(dataclasses.asdict(config), f, indent=2, default=str)
 
         self.state = create_sharded_state(
             jax.random.PRNGKey(config.seed), config, self.mesh)
