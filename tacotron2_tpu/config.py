@@ -29,6 +29,13 @@ class Tacotron2Config:
     training_files: str = "filelists/ljs_audio_text_train_filelist.txt"
     validation_files: str = "filelists/ljs_audio_text_val_filelist.txt"
     text_cleaners: List[str] = field(default_factory=lambda: ["english_cleaners"])
+    # Mixed grapheme/phoneme training: probability of swapping each word
+    # for its {ARPAbet} pronunciation (requires cmudict_path). The
+    # reference ships the CMUDict loader but never wires it into training
+    # (text/cmudict.py, SURVEY §2.1 #17); this is the standard recipe the
+    # reference family uses for phoneme-aware finetunes.
+    p_arpabet: float = 0.0
+    cmudict_path: Optional[str] = None
 
     # ---- Audio (reference hparams.py:35-42) ----
     max_wav_value: float = 32768.0

@@ -70,6 +70,13 @@ class TextMelDataset:
         if shuffle:
             rng = random.Random(config.seed)
             rng.shuffle(self.entries)
+        # optional mixed grapheme/phoneme encoding (text/arpabet.py)
+        self._cmudict = None
+        self._arpabet_rng = None
+        if config.p_arpabet > 0.0 and config.cmudict_path:
+            from tacotron2_tpu.text.cmudict import CMUDict
+            self._cmudict = CMUDict(config.cmudict_path)
+            self._arpabet_rng = random.Random(config.seed + 1)
         # native C++ DSP fast path (native/mel_extract.cc): auto-enabled
         # when the library is built; identical numerics (tests/test_native.py)
         self._native = None
@@ -88,6 +95,12 @@ class TextMelDataset:
         return len(self.entries)
 
     def get_text(self, text: str) -> np.ndarray:
+        if self._cmudict is not None:
+            from tacotron2_tpu.text.arpabet import encode_mixed
+            return np.asarray(
+                encode_mixed(text, self.config.text_cleaners, self._cmudict,
+                             self._arpabet_rng, self.config.p_arpabet),
+                np.int32)
         return np.asarray(
             text_to_sequence(text, self.config.text_cleaners), np.int32)
 
