@@ -133,6 +133,19 @@ class Trainer:
             print(f"Validation loss {step}: {val_loss:9f}")
             output, batch = last if last else (None, None)
             self.logger.log_validation(step, val_loss, output, batch)
+            if output is not None:
+                from tacotron2_tpu.training.diagnostics import (
+                    alignment_diagnostics, gate_accuracy,
+                )
+                scalars = alignment_diagnostics(
+                    np.asarray(output.alignments),
+                    np.asarray(batch.text_lengths),
+                    np.asarray(batch.mel_lengths))
+                scalars.update(gate_accuracy(
+                    np.asarray(output.gate_energies),
+                    np.asarray(batch.gate_target),
+                    np.asarray(batch.mel_lengths)))
+                self.logger._write(step, scalars)
         return val_loss
 
     def set_learning_rate(self, lr: float) -> None:
