@@ -125,6 +125,40 @@ class Tacotron2Config:
         import jax.numpy as jnp
         return {"bfloat16": jnp.bfloat16}[self.compute_dtype]
 
+    def validate(self) -> "Tacotron2Config":
+        """Check cross-field invariants; returns self for chaining.
+
+        Called by the Trainer at startup so misconfigurations fail with a
+        message instead of a shape error deep inside a jit trace.
+        """
+        errors = []
+        if self.encoder_kernel_size % 2 == 0:
+            errors.append("encoder_kernel_size must be odd (SAME padding)")
+        if self.attention_location_kernel_size % 2 == 0:
+            errors.append("attention_location_kernel_size must be odd")
+        if self.postnet_kernel_size % 2 == 0:
+            errors.append("postnet_kernel_size must be odd")
+        if self.encoder_embedding_dim % 2:
+            errors.append("encoder_embedding_dim must be even (BiLSTM halves)")
+        if self.win_length > self.filter_length:
+            errors.append("win_length must be <= filter_length")
+        if self.n_frames_per_step < 1:
+            errors.append("n_frames_per_step must be >= 1")
+        if self.max_mel_length % self.mel_bucket_step:
+            errors.append("max_mel_length must be a multiple of "
+                          "mel_bucket_step")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            errors.append(f"unknown compute_dtype {self.compute_dtype!r}")
+        if self.prng_impl not in ("threefry", "rbg", "unsafe_rbg"):
+            errors.append(f"unknown prng_impl {self.prng_impl!r}")
+        if not 0.0 <= self.p_arpabet <= 1.0:
+            errors.append("p_arpabet must be in [0, 1]")
+        if self.p_arpabet > 0.0 and not self.cmudict_path:
+            errors.append("p_arpabet > 0 requires cmudict_path")
+        if errors:
+            raise ValueError("invalid config: " + "; ".join(errors))
+        return self
+
 
 _LIST_SPLIT = re.compile(r"[;+]")
 

@@ -65,6 +65,10 @@ def number_to_words(n: int, andword: str = "and") -> str:
         return "minus " + number_to_words(-n, andword)
     if n < 1000:
         return _three_digits(n, andword)
+    if n >= 1000 * _SCALES[0][0]:
+        # beyond the named scales: read digit-by-digit (never crash on
+        # pathological digit runs)
+        return " ".join(_UNITS[int(d)] for d in str(n))
     parts = []
     remainder = n
     for scale_value, scale_name in _SCALES:

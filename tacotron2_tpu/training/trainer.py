@@ -33,6 +33,7 @@ class Trainer:
                  checkpoint_path: Optional[str] = None,
                  warm_start_path: Optional[str] = None):
         initialize_distributed()
+        config.validate()
         if config.debug_nans:
             jax.config.update("jax_debug_nans", True)
         if config.prng_impl != "threefry":

@@ -48,3 +48,29 @@ def test_frozen():
         c.batch_size = 1  # type: ignore[misc]
     c2 = c.replace(batch_size=8)
     assert c2.batch_size == 8 and c.batch_size == 64
+
+
+class TestValidate:
+    def test_default_config_valid(self):
+        Tacotron2Config().validate()
+
+    def test_even_kernel_rejected(self):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="odd"):
+            Tacotron2Config(encoder_kernel_size=4).validate()
+
+    def test_arpabet_requires_dict(self):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="cmudict_path"):
+            Tacotron2Config(p_arpabet=0.5).validate()
+
+    def test_bad_dtype_rejected(self):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="compute_dtype"):
+            Tacotron2Config(compute_dtype="float16").validate()
+
+    def test_bucket_mismatch_rejected(self):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="max_mel_length"):
+            Tacotron2Config(max_mel_length=1000,
+                            mel_bucket_step=128).validate()

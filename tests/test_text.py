@@ -152,3 +152,24 @@ class TestCMUDict:
         d = CMUDict(data, keep_ambiguous=False)
         assert len(d) == 1
         assert d.lookup("hello") is None
+
+
+class TestRobustness:
+    """Fuzz-ish inputs must never crash the frontend."""
+
+    @pytest.mark.parametrize("text", [
+        "", " ", "...", "{}", "{", "}", "{}{}{}", "a{b", "a}b",
+        "1234567890" * 5, "$", "£", "éüßæ",
+        "你好世界",  # non-Latin drops to nothing
+        "MiXeD CaSe With 3rd and $5.50 totals!",
+        "tabs\tand\nnewlines\r\n", "'''''", "a" * 500,
+    ])
+    def test_never_crashes(self, text):
+        seq = text_to_sequence(text, ["english_cleaners"])
+        assert isinstance(seq, list)
+        assert all(0 < s < 148 for s in seq)
+        sequence_to_text(seq)  # roundtrip also safe
+
+    def test_nested_braces_degrade_gracefully(self):
+        seq = text_to_sequence("{HH {AH0} S}", ["english_cleaners"])
+        assert isinstance(seq, list)
