@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tacotron2_tpu.ops.layers import conv1d, dense
+from tacotron2_tpu.ops.layers import conv1d
 
 Params = Dict
 
