@@ -108,6 +108,10 @@ class Tacotron2Config:
     # (jax.config.jax_debug_nans) — the functional-model analog of the
     # reference's overflow diagnostics. Slows execution; off by default.
     debug_nans: bool = False
+    # Gradient accumulation: micro-batches per optimizer step (1 = off).
+    # Effective batch = batch_size; activation memory = one micro-batch
+    # (training/accumulate.py).
+    grad_accum_steps: int = 1
     # PRNG implementation for dropout keys. "unsafe_rbg" uses the TPU
     # hardware RNG path: +16% train throughput measured (PERFORMANCE.md),
     # at the cost of counter-based key stability across jax versions.

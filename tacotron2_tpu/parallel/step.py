@@ -41,9 +41,16 @@ def make_train_step(cfg: Tacotron2Config, mesh: Mesh,
     batch_shardings = NamedSharding(mesh, P(DATA_AXIS))  # broadcast to leaves
     replicated = NamedSharding(mesh, P())
 
-    def step(state, batch, rng):
-        new_state, metrics, _ = train_step(state, batch, rng, cfg)
-        return new_state, metrics
+    if cfg.grad_accum_steps > 1:
+        from tacotron2_tpu.training.accumulate import accum_train_step
+
+        def step(state, batch, rng):
+            return accum_train_step(state, batch, rng, cfg,
+                                    cfg.grad_accum_steps)
+    else:
+        def step(state, batch, rng):
+            new_state, metrics, _ = train_step(state, batch, rng, cfg)
+            return new_state, metrics
 
     return jax.jit(
         step,

@@ -79,3 +79,18 @@ def test_indivisible_batch_rejected():
     with pytest.raises(ValueError, match="divisible"):
         accum_train_step(state, make_batch(B=4), jax.random.PRNGKey(0),
                          CFG, n_micro=3)
+
+
+def test_sharded_accum_step():
+    """grad_accum_steps wired through the sharded step builder."""
+    from tacotron2_tpu.parallel import (
+        create_mesh, create_sharded_state, make_train_step,
+    )
+    cfg = CFG.replace(grad_accum_steps=2)
+    mesh = create_mesh((4, 1))
+    state = create_sharded_state(jax.random.PRNGKey(0), cfg, mesh)
+    step = make_train_step(cfg, mesh, state)
+    batch = make_batch(B=8)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics.loss))
+    assert int(state.step) == 1
