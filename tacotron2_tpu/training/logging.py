@@ -134,6 +134,10 @@ class MetricLogger:
                             for p in path)
             self.writer.add_histogram(name, np.asarray(leaf), step)
 
+    def write_scalars(self, step: int, scalars: dict) -> None:
+        """Log arbitrary scalars (used for diagnostics metrics)."""
+        self._write(step, scalars)
+
     def _write(self, step: int, scalars: dict) -> None:
         if self.writer is not None:
             for key, value in scalars.items():

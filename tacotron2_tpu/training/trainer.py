@@ -146,7 +146,7 @@ class Trainer:
                     np.asarray(output.gate_energies),
                     np.asarray(batch.gate_target),
                     np.asarray(batch.mel_lengths)))
-                self.logger._write(step, scalars)
+                self.logger.write_scalars(step, scalars)
         return val_loss
 
     def set_learning_rate(self, lr: float) -> None:
