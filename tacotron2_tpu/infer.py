@@ -89,7 +89,7 @@ def synthesize(params, stats, texts: Sequence[str], cfg: Tacotron2Config, *,
                max_steps: Optional[int] = None,
                griffin_lim_iters: int = 30) -> List[SynthesisResult]:
     """Batched text -> (mel, audio). vocoder: 'none' | 'griffin_lim' |
-    'waveglow'."""
+    'waveglow' | 'hifigan'."""
     text_ids, text_lengths = encode_texts(texts, cfg)
     result = tacotron2.infer(params, stats, text_ids, text_lengths, cfg,
                              rng=rng, max_steps=max_steps,
@@ -102,6 +102,11 @@ def synthesize(params, stats, texts: Sequence[str], cfg: Tacotron2Config, *,
                                      sigma=sigma, key=rng)
         if denoiser is not None:
             audio_batch = denoiser(audio_batch, denoiser_strength)
+    elif vocoder == "hifigan":
+        from tacotron2_tpu.models import hifigan
+        hg_cfg = vocoder_cfg if vocoder_cfg is not None else \
+            hifigan.HiFiGANConfig(n_mel_channels=cfg.n_mel_channels)
+        audio_batch = hifigan.generator(vocoder_params, mel, hg_cfg)
     elif vocoder == "griffin_lim":
         # invert mel -> linear magnitude via the filterbank pseudo-inverse
         from tacotron2_tpu.audio import filters
@@ -135,6 +140,40 @@ def synthesize(params, stats, texts: Sequence[str], cfg: Tacotron2Config, *,
     return out
 
 
+def load_vocoder(kind: str, path: str, cfg: Tacotron2Config, *,
+                 torch_format: bool = False):
+    """Load vocoder weights: 'waveglow' (framework .npz checkpoint or a
+    torch WaveGlow .pt) or 'hifigan' (framework .npz). Returns
+    (params, vocoder_cfg)."""
+    if kind == "waveglow":
+        vocoder_cfg = waveglow.WaveGlowConfig(
+            n_mel_channels=cfg.n_mel_channels,
+            upsample_stride=cfg.hop_length)
+        if torch_format:
+            from tacotron2_tpu.convert_waveglow import (
+                load_waveglow_checkpoint)
+            return load_waveglow_checkpoint(path, vocoder_cfg)
+        from tacotron2_tpu.training.checkpoint import Checkpointer
+        from tacotron2_tpu.training.vocoder_trainer import (
+            create_vocoder_state)
+        import os
+        state_like = create_vocoder_state(jax.random.PRNGKey(0), vocoder_cfg)
+        ckpt = Checkpointer(os.path.dirname(path) or ".")
+        return ckpt.restore(state_like, path).params, vocoder_cfg
+    if kind == "hifigan":
+        from tacotron2_tpu.models import hifigan
+        from tacotron2_tpu.training.checkpoint import Checkpointer
+        from tacotron2_tpu.training.hifigan_trainer import (
+            create_hifigan_state)
+        import os
+        vocoder_cfg = hifigan.HiFiGANConfig(
+            n_mel_channels=cfg.n_mel_channels)
+        state_like = create_hifigan_state(jax.random.PRNGKey(0), vocoder_cfg)
+        ckpt = Checkpointer(os.path.dirname(path) or ".")
+        return ckpt.restore(state_like, path).gen_params, vocoder_cfg
+    raise ValueError(f"unknown vocoder {kind!r}")
+
+
 def main() -> None:
     from tacotron2_tpu.config import create_config
     from tacotron2_tpu.training.checkpoint import Checkpointer
@@ -146,7 +185,13 @@ def main() -> None:
                         help="text to synthesize (repeatable)")
     parser.add_argument("-o", "--output_prefix", default="synth")
     parser.add_argument("--vocoder", default="griffin_lim",
-                        choices=["none", "griffin_lim", "waveglow"])
+                        choices=["none", "griffin_lim", "waveglow",
+                                 "hifigan"])
+    parser.add_argument("--vocoder_checkpoint", default=None,
+                        help="vocoder weights: framework .npz, or a torch "
+                             "WaveGlow .pt with --torch_vocoder")
+    parser.add_argument("--torch_vocoder", action="store_true",
+                        help="vocoder checkpoint is a torch WaveGlow .pt")
     parser.add_argument("--torch_checkpoint", action="store_true",
                         help="checkpoint is a reference .pt state dict")
     parser.add_argument("--hparams", type=str, default=None)
@@ -163,8 +208,19 @@ def main() -> None:
             create_train_state(jax.random.PRNGKey(0), cfg), args.checkpoint)
         params, stats = state.params, state.stats
 
+    vocoder_params, vocoder_cfg = None, None
+    if args.vocoder in ("waveglow", "hifigan"):
+        if args.vocoder_checkpoint is None:
+            parser.error(f"--vocoder {args.vocoder} needs "
+                         "--vocoder_checkpoint")
+        vocoder_params, vocoder_cfg = load_vocoder(
+            args.vocoder, args.vocoder_checkpoint, cfg,
+            torch_format=args.torch_vocoder)
+
     results = synthesize(params, stats, args.text, cfg,
-                         vocoder=args.vocoder)
+                         vocoder=args.vocoder,
+                         vocoder_params=vocoder_params,
+                         vocoder_cfg=vocoder_cfg)
     import scipy.io.wavfile
     for i, r in enumerate(results):
         np.save(f"{args.output_prefix}_{i}_mel.npy", r.mel.T)  # ref layout

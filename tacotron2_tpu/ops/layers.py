@@ -71,25 +71,70 @@ def conv1d_params(key: jax.Array, kernel_size: int, in_ch: int, out_ch: int,
 
 
 def conv1d(params: Params, x: jnp.ndarray, *, padding: str = "SAME",
-           dilation: int = 1, compute_dtype=None) -> jnp.ndarray:
+           dilation: int = 1, stride: int = 1, groups: int = 1,
+           compute_dtype=None) -> jnp.ndarray:
     """x: (B, T, C_in) -> (B, T', C_out). 'SAME' matches the reference's
-    auto pad = dilation * (k - 1) / 2 for odd k (layers.py:26-27)."""
+    auto pad = dilation * (k - 1) / 2 for odd k (layers.py:26-27).
+
+    ``padding`` may also be an explicit pad count (int) or pair; ``groups``
+    maps to XLA's feature_group_count (grouped convs, e.g. the HiFi-GAN
+    multi-scale discriminator)."""
     kernel = params["kernel"]
     pet = jnp.float32
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
         pet = compute_dtype
+    if isinstance(padding, int):
+        padding = [(padding, padding)]
+    elif isinstance(padding, tuple):
+        padding = [padding]
     y = jax.lax.conv_general_dilated(
         x, kernel,
-        window_strides=(1,),
+        window_strides=(stride,),
         padding=padding,
         rhs_dilation=(dilation,),
         dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
         preferred_element_type=pet)
     if "bias" in params:
         y = y + params["bias"]
     return y
+
+
+def conv_transpose1d(params: Params, x: jnp.ndarray, *, stride: int,
+                     compute_dtype=None) -> jnp.ndarray:
+    """Fractionally-strided conv with torch ConvTranspose1d semantics at
+    padding=(k-stride)//2: (B, T, C_in) -> (B, T*stride, C_out). Kernel is
+    (k, in, out). Used by vocoder upsampling stacks (HiFi-GAN generator);
+    output length is exactly T*stride for k a multiple of stride."""
+    kernel = params["kernel"]
+    pet = jnp.float32
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        kernel = kernel.astype(compute_dtype)
+        pet = compute_dtype
+    k = kernel.shape[0]
+    y = jax.lax.conv_transpose(
+        x, kernel, strides=(stride,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=pet)
+    # VALID gives (T-1)*stride + k; trim (k-stride)//2 each side -> T*stride
+    pad = (k - stride) // 2
+    y = y[:, pad:pad + x.shape[1] * stride]
+    if "bias" in params:
+        y = y + params["bias"]
+    return y
+
+
+def avg_pool1d(x: jnp.ndarray, window: int, stride: int,
+               padding: int = 0) -> jnp.ndarray:
+    """Torch AvgPool1d over (B, T, C) with count_include_pad=True."""
+    if padding:
+        x = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+    summed = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, window, 1), (1, stride, 1), "VALID")
+    return summed / window
 
 
 # ------------------------------------------------------------- batchnorm

@@ -91,8 +91,11 @@ class Checkpointer:
             np.savez(tmp, **flat)
             os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
                        path)
-            meta = {"step": step,
-                    "learning_rate": float(flat["learning_rate"])}
+            # learning_rate exists on the acoustic TrainState only; vocoder
+            # states (flow NLL, HiFi-GAN) carry their schedule in opt_state
+            meta = {"step": step}
+            if "learning_rate" in flat:
+                meta["learning_rate"] = float(flat["learning_rate"])
             with open(path + ".json", "w") as f:
                 json.dump(meta, f)
             self._gc()
