@@ -115,6 +115,30 @@ def bench_vocoder(B=1, T_mel=400):
           f"({audio_sec / dt:,.1f} audio-sec/s)", flush=True)
 
 
+def bench_hifigan(B=1, T_mel=400, compute_dtype="bfloat16"):
+    from tacotron2_tpu.models import hifigan
+    cfg = hifigan.HiFiGANConfig()
+    params = hifigan.init_generator(jax.random.PRNGKey(0), cfg)
+    mel = jnp.asarray(np.random.RandomState(0).randn(
+        B, T_mel, cfg.n_mel_channels).astype(np.float32))
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+    run = jax.jit(lambda p, m: hifigan.generator(p, m, cfg,
+                                                 compute_dtype=dtype))
+    audio = run(params, mel)
+    sync(audio)
+    n_rep = 10
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        audio = run(params, mel)
+    sync(audio)
+    dt = (time.perf_counter() - t0) / n_rep
+    audio_sec = B * T_mel / FRAMES_PER_AUDIO_SEC
+    RESULTS[f"hifigan_b{B}_rtf"] = round(dt / audio_sec, 5)
+    RESULTS[f"hifigan_b{B}_audio_sec_per_s"] = round(audio_sec / dt, 1)
+    print(f"hifigan[B={B}] RTF {dt / audio_sec:.5f} "
+          f"({audio_sec / dt:,.1f} audio-sec/s)", flush=True)
+
+
 def _save():
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_DETAILS.json")
@@ -132,10 +156,10 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("stages", nargs="*", default=[],
                         help="subset of: train_bf16 train_fp32 infer1 "
-                             "infer8 vocoder (default: all)")
+                             "infer8 vocoder hifigan (default: all)")
     args = parser.parse_args()
     stages = set(args.stages) or {"train_bf16", "train_fp32", "infer1",
-                                  "infer8", "vocoder"}
+                                  "infer8", "vocoder", "hifigan"}
     print("devices:", jax.devices(), flush=True)
     if "train_bf16" in stages:
         bench_train("bfloat16"); _save()
@@ -147,4 +171,7 @@ if __name__ == "__main__":
         bench_infer(B=8); _save()
     if "vocoder" in stages:
         bench_vocoder(B=1, T_mel=400); _save()
+    if "hifigan" in stages:
+        bench_hifigan(B=1, T_mel=400); _save()
+        bench_hifigan(B=8, T_mel=400); _save()
     print(json.dumps(RESULTS, indent=2))
