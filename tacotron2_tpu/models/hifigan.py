@@ -55,6 +55,28 @@ class HiFiGANConfig(NamedTuple):
         return out
 
 
+def receptive_field_frames(cfg: HiFiGANConfig) -> int:
+    """One-sided receptive field of the generator in INPUT MEL FRAMES.
+
+    An output sample at time t depends on mel frames
+    [t/hop - R, t/hop + R] with R = this value; streaming synthesis uses it
+    as the context margin for exact chunked vocoding. Computed by walking
+    the network backward, converting the needed context to each stage's
+    input resolution (conservative ceilings). Default V1 config -> 15.
+    """
+    # sequential residual units accumulate context; parallel MRF kernels max
+    resblock_ctx = max(
+        sum(d * (k - 1) // 2 + (k - 1) // 2 for d in dils)
+        for k, dils in zip(cfg.resblock_kernel_sizes,
+                           cfg.resblock_dilation_sizes))
+    r = 3  # conv_post k=7 at output resolution
+    for i in reversed(range(len(cfg.upsample_rates))):
+        r += resblock_ctx  # resblock fan at this stage's output resolution
+        k, s = cfg.upsample_kernel_sizes[i], cfg.upsample_rates[i]
+        r = -(-r // s) + -(-k // s)  # ceil(r/s) + ceil(k/s)
+    return r + 3  # conv_pre k=7 at mel resolution
+
+
 def _leaky(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.leaky_relu(x, LRELU_SLOPE)
 

@@ -406,6 +406,77 @@ def decode_autoregressive(params: Params, memory: jnp.ndarray,
     return mel_frames, gate_frames, align_frames, lengths * r
 
 
+class StreamCarry(NamedTuple):
+    """Resumable autoregressive decoder state for chunked (streaming)
+    inference — everything ``decode_autoregressive``'s while-loop carries,
+    minus the output buffers (the caller accumulates chunk outputs)."""
+    t: jnp.ndarray            # () int32 — decoder steps taken so far
+    state: DecoderState
+    prev_mel: jnp.ndarray     # (B, n_mels * r) — last raw frame group
+    finished: jnp.ndarray     # (B,) bool — per-row gate latch
+    lengths: jnp.ndarray      # (B,) int32 — decoder steps per row
+
+
+def init_stream_carry(memory: jnp.ndarray,
+                      cfg: Tacotron2Config) -> StreamCarry:
+    B = memory.shape[0]
+    n = cfg.n_mel_channels * cfg.n_frames_per_step
+    return StreamCarry(
+        t=jnp.zeros((), jnp.int32),
+        state=init_decoder_state(memory, cfg),
+        prev_mel=jnp.zeros((B, n), jnp.float32),
+        finished=jnp.zeros((B,), bool),
+        lengths=jnp.zeros((B,), jnp.int32))
+
+
+def decode_chunk(params: Params, carry: StreamCarry, memory: jnp.ndarray,
+                 processed_memory: jnp.ndarray,
+                 mask: Optional[jnp.ndarray], cfg: Tacotron2Config, *,
+                 chunk_steps: int, rng: Optional[jax.Array] = None,
+                 compute_dtype=None,
+                 ) -> Tuple[StreamCarry,
+                            Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Run ``chunk_steps`` autoregressive decoder steps from ``carry``.
+
+    Step-for-step identical to ``decode_autoregressive`` (same RNG
+    derivation: prenet key = fold_in(rng, global_step)), but resumable:
+    calling this repeatedly and concatenating the chunk outputs reproduces
+    the offline buffers exactly. Chunk outputs are already masked for
+    finished rows (mel/align -> 0, gate -> MASKED_GATE_ENERGY), in
+    per-frame resolution: mel (B, chunk_steps*r, n_mels),
+    gate (B, chunk_steps*r), align (B, chunk_steps*r, T_in).
+    """
+    dp = params["decoder"]
+    r = cfg.n_frames_per_step
+    prenet_deterministic = not cfg.prenet_dropout_at_inference or rng is None
+
+    def body(c: StreamCarry, _):
+        step_rng = (jax.random.fold_in(rng, c.t) if rng is not None else None)
+        prenet_out = prenet_apply(dp["prenet"], c.prev_mel, step_rng,
+                                  deterministic=prenet_deterministic,
+                                  compute_dtype=compute_dtype)
+        state, (mel, gate, align) = decoder_step(
+            dp, c.state, prenet_out, memory, processed_memory, mask, cfg,
+            training=False, rng=None, compute_dtype=compute_dtype)
+        mel_out = jnp.where(c.finished[:, None], 0.0, mel)
+        gate_out = jnp.where(c.finished, MASKED_GATE_ENERGY, gate)
+        align_out = jnp.where(c.finished[:, None], 0.0, align)
+        lengths = jnp.where(c.finished, c.lengths, c.t + 1)
+        finished = jnp.logical_or(
+            c.finished, jax.nn.sigmoid(gate) > cfg.gate_threshold)
+        return (StreamCarry(c.t + 1, state, mel, finished, lengths),
+                (mel_out, gate_out, align_out))
+
+    carry, (mels, gates, aligns) = jax.lax.scan(
+        body, carry, None, length=chunk_steps)
+    B = memory.shape[0]
+    mels = mels.swapaxes(0, 1).reshape(B, chunk_steps * r,
+                                       cfg.n_mel_channels)
+    gates = jnp.repeat(gates.swapaxes(0, 1), r, axis=1)
+    aligns = jnp.repeat(aligns.swapaxes(0, 1), r, axis=1)
+    return carry, (mels, gates, aligns)
+
+
 # ======================================================================
 # Postnet
 # ======================================================================
