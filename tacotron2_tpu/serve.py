@@ -143,3 +143,53 @@ class BatchingSynthesizer:
                 for _, future in items:
                     if not future.done():
                         future.set_exception(e)
+
+
+class VocoderRunner:
+    """Jitted neural mel->waveform vocoding with mel-length bucketing.
+
+    One compilation per mel bucket (``mel_bucket_step`` frames apart, capped
+    at ``max_frames``); requests are zero-padded to the bucket and the audio
+    trimmed back, so the serving hot path never recompiles. Supports the
+    'hifigan' generator and the 'waveglow' flow (fixed PRNG for the latter,
+    so serving is deterministic).
+    """
+
+    def __init__(self, kind: str, vocoder_params, vocoder_cfg, *,
+                 max_frames: int, bucket_step: int = 128,
+                 sigma: float = 0.666):
+        if kind not in ("hifigan", "waveglow"):
+            raise ValueError(f"unknown neural vocoder {kind!r}")
+        self.kind = kind
+        self.params = jax.tree.map(jnp.asarray, vocoder_params)
+        self.cfg = vocoder_cfg
+        self.max_frames = max_frames
+        self.bucket_step = bucket_step
+        self.sigma = sigma
+        self.hop = vocoder_cfg.hop_length
+        self._jitted = {}
+
+    def _fn(self, t_mel: int):
+        if t_mel not in self._jitted:
+            if self.kind == "hifigan":
+                from tacotron2_tpu.models import hifigan
+                cfg = self.cfg
+                jitted = jax.jit(
+                    lambda p, mel: hifigan.generator(p, mel, cfg))
+            else:
+                from tacotron2_tpu.models import waveglow
+                cfg, sigma = self.cfg, self.sigma
+                jitted = jax.jit(lambda p, mel: waveglow.infer(
+                    p, mel, cfg, sigma=sigma, key=jax.random.PRNGKey(0)))
+            self._jitted[t_mel] = jitted
+        return self._jitted[t_mel]
+
+    def __call__(self, mel: np.ndarray) -> np.ndarray:
+        """(n_frames, n_mels) float mel -> (n_frames * hop,) float audio."""
+        from tacotron2_tpu.data.bucketing import mel_bucket
+        n = mel.shape[0]
+        t_mel = mel_bucket(n, self.bucket_step, max(self.max_frames, n))
+        padded = np.zeros((1, t_mel, mel.shape[1]), np.float32)
+        padded[0, :n] = mel
+        audio = np.asarray(self._fn(t_mel)(self.params, jnp.asarray(padded)))
+        return audio[0, :n * self.hop]
