@@ -194,6 +194,9 @@ def main() -> None:
                         help="vocoder checkpoint is a torch WaveGlow .pt")
     parser.add_argument("--torch_checkpoint", action="store_true",
                         help="checkpoint is a reference .pt state dict")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 weight-only decoder LSTMs (~2x faster "
+                             "B=1 decode; Pallas kernel)")
     parser.add_argument("--hparams", type=str, default=None)
     args = parser.parse_args()
 
@@ -207,6 +210,10 @@ def main() -> None:
         state = ckpt.restore(
             create_train_state(jax.random.PRNGKey(0), cfg), args.checkpoint)
         params, stats = state.params, state.stats
+
+    if args.int8:
+        from tacotron2_tpu.models.tacotron2 import quantize_for_serving
+        params = quantize_for_serving(params)
 
     vocoder_params, vocoder_cfg = None, None
     if args.vocoder in ("waveglow", "hifigan"):

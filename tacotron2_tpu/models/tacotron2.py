@@ -406,6 +406,25 @@ def decode_autoregressive(params: Params, memory: jnp.ndarray,
     return mel_frames, gate_frames, align_frames, lengths * r
 
 
+def quantize_for_serving(params: Params) -> Params:
+    """int8 weight-only serving form of the model parameters.
+
+    Quantizes the two decoder LSTM cells — 35.7 of the ~36 MB/step weight
+    stream that bounds B=1 inference (PERFORMANCE.md roofline) — leaving
+    everything else (projections, attention, encoder: run once per
+    utterance or tiny) in full precision. The result drops into every
+    inference entry point (infer / decode_autoregressive / decode_chunk /
+    serving); training paths reject it (no VJP for the int8 kernel).
+    """
+    from tacotron2_tpu.ops.lstm import quantize_lstm_params
+    dp = dict(params["decoder"])
+    dp["attention_rnn"] = quantize_lstm_params(dp["attention_rnn"])
+    dp["decoder_rnn"] = quantize_lstm_params(dp["decoder_rnn"])
+    out = dict(params)
+    out["decoder"] = dp
+    return out
+
+
 class StreamCarry(NamedTuple):
     """Resumable autoregressive decoder state for chunked (streaming)
     inference — everything ``decode_autoregressive``'s while-loop carries,

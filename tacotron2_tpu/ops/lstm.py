@@ -43,12 +43,46 @@ def lstm_init_state(batch: int, hidden_dim: int, dtype=jnp.float32) -> State:
     return zeros, zeros
 
 
+def quantize_lstm_params(params: Params) -> Params:
+    """Weight-only int8 serving form of an LSTM cell's parameters.
+
+    The two gate matrices are stacked ([wi; wh], so one kernel call
+    streams both) and quantized per output channel; biases are pre-summed.
+    ``lstm_cell`` dispatches on the resulting {"w_q","scale","bias"} keys.
+    """
+    from tacotron2_tpu.kernels.int8_matmul import quantize_int8
+    w = jnp.concatenate([params["wi"], params["wh"]], axis=0)
+    w_q, scale = quantize_int8(w)
+    return {"w_q": w_q, "scale": scale,
+            "bias": params["bi"] + params["bh"]}
+
+
+def _lstm_cell_int8(params: Params, x: jnp.ndarray, state: State) -> State:
+    """Quantized-weight cell: int8 weight stream dequantized in-kernel
+    (kernels/int8_matmul.py); halves the per-step HBM traffic that bounds
+    B=1 autoregressive inference. Inference-only (no VJP)."""
+    from tacotron2_tpu.kernels.int8_matmul import int8_matmul
+    h, c = state
+    xs = jnp.concatenate([x.astype(jnp.float32), h], axis=-1)
+    gates = int8_matmul(xs, params["w_q"], params["scale"],
+                        interpret=jax.default_backend() == "cpu")
+    gates = gates + params["bias"]
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    new_c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+    return new_h, new_c
+
+
 def lstm_cell(params: Params, x: jnp.ndarray, state: State,
               compute_dtype=None) -> State:
     """One LSTM step. x: (B, in); state: ((B, H), (B, H)).
 
     One fused matmul computes all four gate blocks; fp32 accumulation.
+    Dispatches to the int8 weight-only path when given quantized params
+    (``quantize_lstm_params``).
     """
+    if "w_q" in params:
+        return _lstm_cell_int8(params, x, state)
     h, c = state
     wi, wh = params["wi"], params["wh"]
     pet = jnp.float32

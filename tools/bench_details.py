@@ -37,6 +37,23 @@ def sync(x):
     return float(np.asarray(x).ravel()[0])
 
 
+def timeit(fn, reps: int) -> float:
+    """Mean seconds per call, pipelining ``reps`` queued dispatches.
+
+    The tunneled axon platform has a ~28 ms dispatch ROUND-TRIP LATENCY
+    that overlaps almost completely across queued calls (measured:
+    1 call 28 ms, 50 queued trivial calls 31 ms total). Benching with
+    only 3-5 reps therefore inflated every per-call number by several
+    ms — reps must be high enough that total device time >> one RTT.
+    """
+    out = fn()                      # warmup / compile
+    sync(out)
+    t0 = time.perf_counter()
+    outs = [fn() for _ in range(reps)]
+    sync(outs[-1])
+    return (time.perf_counter() - t0) / reps
+
+
 def bench_train(compute_dtype: str, B=32, T_in=128, T_out=512, n_steps=10):
     cfg = Tacotron2Config(compute_dtype=compute_dtype, batch_size=B)
     mesh = create_mesh((1, 1), jax.devices()[:1])
@@ -60,35 +77,33 @@ def bench_train(compute_dtype: str, B=32, T_in=128, T_out=512, n_steps=10):
           f"({dt / n_steps * 1e3:.1f} ms/step)", flush=True)
 
 
-def bench_infer(B, T_in=128, steps=400):
+def bench_infer(B, T_in=128, steps=400, quantized=False):
     # gate_threshold > 1 -> never stops early: measures the full decode
     cfg = Tacotron2Config(prenet_dropout_at_inference=False,
                           gate_threshold=1.5, max_decoder_steps=steps)
     params, stats = tacotron2.init_params(jax.random.PRNGKey(0), cfg)
+    if quantized:
+        params = tacotron2.quantize_for_serving(params)
 
     def run(text, lengths):
-        r = tacotron2.infer(params, stats, text, lengths, cfg)
+        r = tacotron2.infer(params, stats, text, lengths, cfg,
+                            compute_dtype=jnp.bfloat16)
         return r.mel_postnet, r.mel_lengths
 
     run_j = jax.jit(run)
     rng = np.random.RandomState(0)
     text = jnp.asarray(rng.randint(1, 148, (B, T_in)).astype(np.int32))
     lengths = jnp.full((B,), T_in, jnp.int32)
-    mel, _ = run_j(text, lengths)
-    sync(mel)
-    n_rep = 3
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        mel, _ = run_j(text, lengths)
-    sync(mel)
-    dt = (time.perf_counter() - t0) / n_rep
+    dt = timeit(lambda: run_j(text, lengths)[0], reps=30)
     audio_sec = B * steps / FRAMES_PER_AUDIO_SEC
     rtf = dt / audio_sec
-    RESULTS[f"infer_b{B}_rtf"] = round(rtf, 4)
-    RESULTS[f"infer_b{B}_frames_per_s"] = round(B * steps / dt, 1)
-    RESULTS[f"infer_b{B}_ms_per_frame"] = round(dt / steps * 1e3, 3)
-    print(f"infer[B={B}] RTF {rtf:.4f} ({B * steps / dt:,.0f} frames/s, "
-          f"{dt / steps * 1e3:.2f} ms/frame-step)", flush=True)
+    tag = f"infer_b{B}" + ("_int8" if quantized else "")
+    RESULTS[f"{tag}_rtf"] = round(rtf, 5)
+    RESULTS[f"{tag}_frames_per_s"] = round(B * steps / dt, 1)
+    RESULTS[f"{tag}_ms_per_frame"] = round(dt / steps * 1e3, 3)
+    print(f"infer[B={B}{' int8' if quantized else ''}] RTF {rtf:.5f} "
+          f"({B * steps / dt:,.0f} frames/s, "
+          f"{dt / steps * 1e3:.3f} ms/frame-step)", flush=True)
 
 
 def bench_vocoder(B=1, T_mel=400):
@@ -100,14 +115,7 @@ def bench_vocoder(B=1, T_mel=400):
     # program, blowing past the remote-compile request size limit
     run = jax.jit(lambda p, m: waveglow.infer(p, m, cfg, sigma=0.666,
                                               key=jax.random.PRNGKey(1)))
-    audio = run(params, mel)
-    sync(audio)
-    n_rep = 5
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        audio = run(params, mel)
-    sync(audio)
-    dt = (time.perf_counter() - t0) / n_rep
+    dt = timeit(lambda: run(params, mel), reps=15)
     audio_sec = B * T_mel / FRAMES_PER_AUDIO_SEC
     RESULTS[f"vocoder_b{B}_rtf"] = round(dt / audio_sec, 4)
     RESULTS[f"vocoder_b{B}_audio_sec_per_s"] = round(audio_sec / dt, 1)
@@ -124,14 +132,7 @@ def bench_hifigan(B=1, T_mel=400, compute_dtype="bfloat16"):
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
     run = jax.jit(lambda p, m: hifigan.generator(p, m, cfg,
                                                  compute_dtype=dtype))
-    audio = run(params, mel)
-    sync(audio)
-    n_rep = 10
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        audio = run(params, mel)
-    sync(audio)
-    dt = (time.perf_counter() - t0) / n_rep
+    dt = timeit(lambda: run(params, mel), reps=40)
     audio_sec = B * T_mel / FRAMES_PER_AUDIO_SEC
     RESULTS[f"hifigan_b{B}_rtf"] = round(dt / audio_sec, 5)
     RESULTS[f"hifigan_b{B}_audio_sec_per_s"] = round(audio_sec / dt, 1)
@@ -154,12 +155,16 @@ def _save():
 if __name__ == "__main__":
     import argparse
     parser = argparse.ArgumentParser()
+    known = {"train_bf16", "train_fp32", "infer1", "infer8", "infer1_int8",
+             "infer8_int8", "vocoder", "hifigan"}
     parser.add_argument("stages", nargs="*", default=[],
-                        help="subset of: train_bf16 train_fp32 infer1 "
-                             "infer8 vocoder hifigan (default: all)")
+                        help=f"subset of: {' '.join(sorted(known))} "
+                             "(default: all)")
     args = parser.parse_args()
-    stages = set(args.stages) or {"train_bf16", "train_fp32", "infer1",
-                                  "infer8", "vocoder", "hifigan"}
+    unknown = set(args.stages) - known
+    if unknown:
+        parser.error(f"unknown stages: {sorted(unknown)}")
+    stages = set(args.stages) or known
     print("devices:", jax.devices(), flush=True)
     if "train_bf16" in stages:
         bench_train("bfloat16"); _save()
@@ -169,6 +174,10 @@ if __name__ == "__main__":
         bench_infer(B=1); _save()
     if "infer8" in stages:
         bench_infer(B=8); _save()
+    if "infer1_int8" in stages:
+        bench_infer(B=1, quantized=True); _save()
+    if "infer8_int8" in stages:
+        bench_infer(B=8, quantized=True); _save()
     if "vocoder" in stages:
         bench_vocoder(B=1, T_mel=400); _save()
     if "hifigan" in stages:
