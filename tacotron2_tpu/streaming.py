@@ -87,7 +87,8 @@ class StreamingSynthesizer:
     def __init__(self, params, stats, config: Tacotron2Config, *,
                  vocoder_params=None, vocoder_cfg=None,
                  chunk_steps: int = 32, max_steps: Optional[int] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 fused: Optional[bool] = None):
         # pin to device once (host pytrees re-upload on every jitted call)
         self.params = jax.tree.map(jnp.asarray, params)
         self.stats = jax.tree.map(jnp.asarray, stats)
@@ -115,6 +116,25 @@ class StreamingSynthesizer:
         self.T_buf = self.max_steps * cfg.n_frames_per_step
         self.Wp = min(self.C + 2 * self.P, self.T_buf)
         self.Wv = min(self.C + 2 * self.M, self.T_buf)
+
+        # Fused Pallas decoder chunk (kernels/decoder_step.py): one kernel
+        # per chunk, weights VMEM-resident — ~5x the XLA chunk at B=1
+        # (PERFORMANCE.md). Requires deterministic prenet and unquantized
+        # params (it packs its own layout). Auto-on when eligible.
+        quantized = "w_q" in params["decoder"]["attention_rnn"]
+        if fused is None:
+            fused = deterministic and not quantized
+        if fused and (not deterministic or quantized):
+            raise ValueError("fused streaming needs a deterministic prenet "
+                             "and unquantized params")
+        self._fused = fused
+        self._packed = None
+        if fused:
+            from tacotron2_tpu.kernels import decoder_step as fused_kernel
+            self._fused_kernel = fused_kernel
+            self._packed = fused_kernel.pack_decoder_params(
+                params, self.config,
+                dtype=self.config.jax_compute_dtype or jnp.float32)
 
         self._encode_jit = {}  # text bucket -> fn
         self._chunk_jit = {}
@@ -146,6 +166,24 @@ class StreamingSynthesizer:
         if t_text not in self._chunk_jit:
             cfg = self.config
             K = self.chunk_steps
+
+            if self._fused:
+                fk = self._fused_kernel
+                interp = jax.default_backend() == "cpu"
+
+                def run_fused(packed, carry, memory, processed, lengths):
+                    mask = length_mask(lengths, memory.shape[1])
+                    return fk.decode_chunk_fused(
+                        packed, carry, memory, processed, mask, cfg,
+                        chunk_steps=K,
+                        dtype=cfg.jax_compute_dtype or jnp.float32,
+                        interpret=interp)
+
+                jitted = jax.jit(run_fused)
+                self._chunk_jit[t_text] = (
+                    lambda carry, memory, processed, lengths, rng=None:
+                    jitted(self._packed, carry, memory, processed, lengths))
+                return self._chunk_jit[t_text]
 
             def run(params, carry, memory, processed, lengths, rng):
                 mask = length_mask(lengths, memory.shape[1])

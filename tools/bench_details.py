@@ -106,6 +106,49 @@ def bench_infer(B, T_in=128, steps=400, quantized=False):
           f"{dt / steps * 1e3:.3f} ms/frame-step)", flush=True)
 
 
+def bench_infer_fused(T_in=128, steps=448, chunk=64):
+    """B=1 decode through the fused Pallas decoder chunk kernel
+    (kernels/decoder_step.py): weights VMEM-resident, whole chunk one
+    kernel. The chunk loop must be jitted as ONE function — eager wrapper
+    ops between chunks each cost a tunnel dispatch."""
+    from tacotron2_tpu.kernels import decoder_step as ds
+    from tacotron2_tpu.ops.layers import dense, length_mask
+
+    cfg = Tacotron2Config(prenet_dropout_at_inference=False,
+                          gate_threshold=1.5, max_decoder_steps=steps)
+    params, stats = tacotron2.init_params(jax.random.PRNGKey(0), cfg)
+    fp = ds.pack_decoder_params(params, cfg, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    text = jnp.asarray(rng.randint(1, 148, (1, T_in)).astype(np.int32))
+    lengths = jnp.asarray([T_in], jnp.int32)
+    memory, _ = tacotron2.encode(params, stats, text, lengths, cfg,
+                                 training=False,
+                                 compute_dtype=jnp.bfloat16)
+    processed = dense(params["decoder"]["attention"]["memory"], memory,
+                      compute_dtype=jnp.bfloat16)
+    mask = length_mask(lengths, memory.shape[1])
+
+    @jax.jit
+    def run_all(fp, memory, processed, mask):
+        carry = tacotron2.init_stream_carry(memory, cfg)
+        mels = []
+        for _ in range(steps // chunk):
+            carry, (mel, _, _) = ds.decode_chunk_fused(
+                fp, carry, memory, processed, mask, cfg, chunk_steps=chunk,
+                dtype=jnp.bfloat16)
+            mels.append(mel)
+        return jnp.concatenate(mels, axis=1)
+
+    dt = timeit(lambda: run_all(fp, memory, processed, mask), reps=30)
+    audio_sec = steps / FRAMES_PER_AUDIO_SEC
+    rtf = dt / audio_sec
+    RESULTS["infer_b1_fused_rtf"] = round(rtf, 5)
+    RESULTS["infer_b1_fused_frames_per_s"] = round(steps / dt, 1)
+    RESULTS["infer_b1_fused_us_per_frame"] = round(dt / steps * 1e6, 2)
+    print(f"infer[B=1 fused] RTF {rtf:.5f} ({steps / dt:,.0f} frames/s, "
+          f"{dt / steps * 1e6:.1f} us/frame)", flush=True)
+
+
 def bench_vocoder(B=1, T_mel=400):
     cfg = waveglow.WaveGlowConfig()
     params = waveglow.init_params(jax.random.PRNGKey(0), cfg)
@@ -156,7 +199,7 @@ if __name__ == "__main__":
     import argparse
     parser = argparse.ArgumentParser()
     known = {"train_bf16", "train_fp32", "infer1", "infer8", "infer1_int8",
-             "infer8_int8", "vocoder", "hifigan"}
+             "infer8_int8", "infer1_fused", "vocoder", "hifigan"}
     parser.add_argument("stages", nargs="*", default=[],
                         help=f"subset of: {' '.join(sorted(known))} "
                              "(default: all)")
@@ -178,6 +221,8 @@ if __name__ == "__main__":
         bench_infer(B=1, quantized=True); _save()
     if "infer8_int8" in stages:
         bench_infer(B=8, quantized=True); _save()
+    if "infer1_fused" in stages:
+        bench_infer_fused(); _save()
     if "vocoder" in stages:
         bench_vocoder(B=1, T_mel=400); _save()
     if "hifigan" in stages:
