@@ -87,13 +87,23 @@ def synthesize(params, stats, texts: Sequence[str], cfg: Tacotron2Config, *,
                sigma: float = 0.666,
                rng: Optional[jax.Array] = None,
                max_steps: Optional[int] = None,
-               griffin_lim_iters: int = 30) -> List[SynthesisResult]:
+               griffin_lim_iters: int = 30,
+               fused: bool = False) -> List[SynthesisResult]:
     """Batched text -> (mel, audio). vocoder: 'none' | 'griffin_lim' |
-    'waveglow' | 'hifigan'."""
+    'waveglow' | 'hifigan'. ``fused=True`` decodes through the fused
+    Pallas decoder kernel (B=1, deterministic prenet only — ~4.5x)."""
     text_ids, text_lengths = encode_texts(texts, cfg)
-    result = tacotron2.infer(params, stats, text_ids, text_lengths, cfg,
-                             rng=rng, max_steps=max_steps,
-                             compute_dtype=cfg.jax_compute_dtype)
+    if fused:
+        if len(texts) != 1 or rng is not None:
+            raise ValueError("fused decode is the B=1 deterministic path")
+        result = tacotron2.infer_fused(params, stats, text_ids,
+                                       text_lengths, cfg,
+                                       max_steps=max_steps,
+                                       compute_dtype=cfg.jax_compute_dtype)
+    else:
+        result = tacotron2.infer(params, stats, text_ids, text_lengths, cfg,
+                                 rng=rng, max_steps=max_steps,
+                                 compute_dtype=cfg.jax_compute_dtype)
     mel = result.mel_postnet  # (B, T_max, n_mels)
 
     audio_batch = None
@@ -197,6 +207,10 @@ def main() -> None:
     parser.add_argument("--int8", action="store_true",
                         help="int8 weight-only decoder LSTMs (~2x faster "
                              "B=1 decode; Pallas kernel)")
+    parser.add_argument("--fused", action="store_true",
+                        help="fused Pallas decoder kernel (~4.5x faster "
+                             "B=1 decode; one text only, deterministic "
+                             "prenet)")
     parser.add_argument("--hparams", type=str, default=None)
     args = parser.parse_args()
 
@@ -224,10 +238,13 @@ def main() -> None:
             args.vocoder, args.vocoder_checkpoint, cfg,
             torch_format=args.torch_vocoder)
 
+    if args.fused and (args.int8 or len(args.text) != 1):
+        parser.error("--fused needs exactly one -t text and no --int8")
     results = synthesize(params, stats, args.text, cfg,
                          vocoder=args.vocoder,
                          vocoder_params=vocoder_params,
-                         vocoder_cfg=vocoder_cfg)
+                         vocoder_cfg=vocoder_cfg,
+                         fused=args.fused)
     import scipy.io.wavfile
     for i, r in enumerate(results):
         np.save(f"{args.output_prefix}_{i}_mel.npy", r.mel.T)  # ref layout

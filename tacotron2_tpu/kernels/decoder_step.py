@@ -448,3 +448,59 @@ def decode_chunk_fused(fp: FusedDecoderParams, carry, memory: jnp.ndarray,
         finished=flagso[0, 0:1] > 0,
         lengths=flagso[0, 1:2])
     return new_carry, (mel, gate, align)
+
+
+def decode_autoregressive_fused(fp: FusedDecoderParams, memory: jnp.ndarray,
+                                processed_memory: jnp.ndarray,
+                                mask: Optional[jnp.ndarray],
+                                cfg: Tacotron2Config, *,
+                                max_steps: Optional[int] = None,
+                                chunk_steps: int = 64,
+                                dtype=jnp.bfloat16,
+                                interpret: bool = False):
+    """Full-utterance fused decode: ``lax.while_loop`` over fused chunks
+    with early exit once the gate latches (chunk-granular), all inside one
+    jittable function. Same return contract as
+    ``tacotron2.decode_autoregressive``: (mel_frames (1, T_max*r, n_mels),
+    gate_frames, align_frames, frame lengths).
+    """
+    from tacotron2_tpu.models import tacotron2 as m
+
+    B, t_in, _ = memory.shape
+    assert B == 1
+    r = cfg.n_frames_per_step
+    t_max = max_steps or cfg.max_decoder_steps
+    n_chunks = -(-t_max // chunk_steps)
+    cs = chunk_steps
+
+    mel_buf = jnp.zeros((n_chunks, cs * r, cfg.n_mel_channels), jnp.float32)
+    gate_buf = jnp.full((n_chunks, cs * r), GATE_MASK, jnp.float32)
+    align_buf = jnp.zeros((n_chunks, cs * r, t_in), jnp.float32)
+
+    def cond(c):
+        i, carry, *_ = c
+        return jnp.logical_and(i < n_chunks,
+                               jnp.logical_not(jnp.all(carry.finished)))
+
+    def body(c):
+        i, carry, mels, gates, aligns = c
+        carry, (mel, gate, align) = decode_chunk_fused(
+            fp, carry, memory, processed_memory, mask, cfg,
+            chunk_steps=cs, dtype=dtype, interpret=interpret)
+        return (i + 1, carry,
+                mels.at[i].set(mel[0]),
+                gates.at[i].set(gate[0]),
+                aligns.at[i].set(align[0]))
+
+    init = (0, m.init_stream_carry(memory, cfg), mel_buf, gate_buf,
+            align_buf)
+    _, carry, mels, gates, aligns = jax.lax.while_loop(cond, body, init)
+
+    # (n_chunks, cs*r, .) -> (1, T_max*r, .); chunks may overshoot t_max
+    mel_frames = mels.reshape(1, n_chunks * cs * r,
+                              cfg.n_mel_channels)[:, :t_max * r]
+    gate_frames = gates.reshape(1, n_chunks * cs * r)[:, :t_max * r]
+    align_frames = aligns.reshape(1, n_chunks * cs * r,
+                                  t_in)[:, :t_max * r]
+    lengths = jnp.minimum(carry.lengths, t_max) * r
+    return mel_frames, gate_frames, align_frames, lengths

@@ -406,6 +406,44 @@ def decode_autoregressive(params: Params, memory: jnp.ndarray,
     return mel_frames, gate_frames, align_frames, lengths * r
 
 
+def infer_fused(params: Params, stats: Params, text: jnp.ndarray,
+                text_lengths: jnp.ndarray, cfg: Tacotron2Config, *,
+                packed=None, max_steps: Optional[int] = None,
+                chunk_steps: int = 64,
+                compute_dtype=None) -> "InferenceResult":
+    """``infer`` through the fused Pallas decoder chunk kernel
+    (kernels/decoder_step.py) — B=1, deterministic prenet; ~4.5x the XLA
+    decode at B=1 (PERFORMANCE.md). ``packed`` is the reusable
+    ``pack_decoder_params`` result (built on the fly if omitted; pass it
+    in for serving so the packing cost is paid once).
+    """
+    from tacotron2_tpu.kernels import decoder_step as ds
+    if compute_dtype is None:
+        compute_dtype = cfg.jax_compute_dtype
+    kdtype = compute_dtype or jnp.float32
+    if packed is None:
+        packed = ds.pack_decoder_params(params, cfg, dtype=kdtype)
+    interpret = jax.default_backend() == "cpu"
+
+    memory, _ = encode(params, stats, text, text_lengths, cfg,
+                       training=False, rng=None,
+                       compute_dtype=compute_dtype)
+    processed = dense(params["decoder"]["attention"]["memory"], memory,
+                      compute_dtype=compute_dtype)
+    mask = length_mask(text_lengths, memory.shape[1])
+    mel, gate_energies, alignments, mel_lengths = \
+        ds.decode_autoregressive_fused(
+            packed, memory, processed, mask, cfg, max_steps=max_steps,
+            chunk_steps=chunk_steps, dtype=kdtype, interpret=interpret)
+    residual, _ = postnet_apply(params, stats, mel, cfg, training=False,
+                                rng=None, compute_dtype=compute_dtype)
+    mel_postnet = mel + residual
+    mel, mel_postnet, gate_energies = mask_outputs(
+        mel, mel_postnet, gate_energies, mel_lengths)
+    return InferenceResult(mel, mel_postnet, gate_energies, alignments,
+                           mel_lengths)
+
+
 def quantize_for_serving(params: Params) -> Params:
     """int8 weight-only serving form of the model parameters.
 

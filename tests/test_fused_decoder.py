@@ -108,3 +108,28 @@ def test_pack_rejects_nothing_but_wide_frames():
     params, _ = m.init_params(jax.random.PRNGKey(0), cfg)
     with pytest.raises(ValueError):
         ds.pack_decoder_params(params, cfg)
+
+
+@pytest.mark.parametrize("gate_threshold", [0.99, 0.3])
+def test_infer_fused_matches_infer(gate_threshold):
+    """Full-utterance fused inference == tacotron2.infer (fp32, rng=None),
+    including early exit, postnet, and output masking."""
+    cfg = make_cfg(gate_threshold=gate_threshold, max_decoder_steps=20)
+    params, stats = m.init_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.RandomState(2)
+    text = jnp.asarray(rng.randint(1, 148, (1, 12)).astype(np.int32))
+    lengths = jnp.asarray([12], jnp.int32)
+
+    ref = m.infer(params, stats, text, lengths, cfg)
+    got = m.infer_fused(params, stats, text, lengths, cfg, chunk_steps=8)
+
+    np.testing.assert_array_equal(np.asarray(got.mel_lengths),
+                                  np.asarray(ref.mel_lengths))
+    np.testing.assert_allclose(np.asarray(got.mel), np.asarray(ref.mel),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.mel_postnet),
+                               np.asarray(ref.mel_postnet), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.gate_energies),
+                               np.asarray(ref.gate_energies), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.alignments),
+                               np.asarray(ref.alignments), atol=1e-5)
