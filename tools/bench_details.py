@@ -225,6 +225,7 @@ if __name__ == "__main__":
         bench_infer_fused(); _save()
     if "vocoder" in stages:
         bench_vocoder(B=1, T_mel=400); _save()
+        bench_vocoder(B=8, T_mel=400); _save()
     if "hifigan" in stages:
         bench_hifigan(B=1, T_mel=400); _save()
         bench_hifigan(B=8, T_mel=400); _save()
