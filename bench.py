@@ -34,9 +34,12 @@ def main() -> None:
     # Tuned by the round-1 sweep (PERFORMANCE.md): B>=128 fills the
     # 128-row MXU, unroll=4 amortizes scan bookkeeping, hardware RNG for
     # dropout keys is +16%. B=256 needs remat and is net slower.
+    # Round-2 additions (+4.6%): bf16 context einsum in the attention and
+    # rematerialized attention energies (the largest per-step residuals).
     jax.config.update("jax_default_prng_impl", "unsafe_rbg")
     cfg = Tacotron2Config(compute_dtype="bfloat16", batch_size=128,
-                          decoder_scan_unroll=4, prng_impl="unsafe_rbg")
+                          decoder_scan_unroll=4, prng_impl="unsafe_rbg",
+                          remat_attention_energies=True)
     B, T_in, T_out = cfg.batch_size, 128, 512
 
     n_dev = len(jax.devices())

@@ -104,6 +104,22 @@ class Tacotron2Config:
     # Rematerialize the decoder step in the backward pass (trade FLOPs for
     # HBM when training long sequences / large batches).
     remat_decoder: bool = False
+    # Checkpoint policy name (jax.checkpoint_policies.*) for the decoder
+    # scan step, e.g. "dots_saveable": save only matmul outputs, recompute
+    # elementwise ops in the backward — less residual HBM traffic than
+    # full autodiff saving, less recompute than remat_decoder. None = save
+    # everything (plain autodiff). Ignored when remat_decoder=True.
+    decoder_remat_policy: Optional[str] = None
+    # Rematerialize the attention-energy computation in the decoder scan's
+    # backward pass. Its (B, T_in, att_dim) tanh residuals are the largest
+    # per-step activations (~8 MB/step at B=128) — recomputing a few small
+    # matmuls beats streaming them through HBM. Measured per-hardware.
+    remat_attention_energies: bool = False
+    # Split the decoder scan's transpose (backward) into a separate scan
+    # (jax.lax.scan _split_transpose): lets XLA schedule the residual
+    # re-reads and weight-gradient accumulation independently of the
+    # sequential data-gradient chain. Measured per-hardware; off by default.
+    decoder_scan_split_transpose: bool = False
     # Debug mode: raise on the first NaN produced anywhere under jit
     # (jax.config.jax_debug_nans) — the functional-model analog of the
     # reference's overflow diagnostics. Slows execution; off by default.

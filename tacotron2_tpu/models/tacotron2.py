@@ -195,14 +195,17 @@ def prenet_apply(params: Params, x: jnp.ndarray, rng: Optional[jax.Array],
     return x
 
 
-def _attention(p: Params, att_hidden: jnp.ndarray, memory: jnp.ndarray,
-               processed_memory: jnp.ndarray, att_weights: jnp.ndarray,
-               att_weights_cum: jnp.ndarray, mask: Optional[jnp.ndarray],
-               compute_dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Location-sensitive additive attention (reference model.py:29-86).
-
-    energies = v . tanh(W_q q + W_loc conv([w; w_cum]) + W_m memory)
-    """
+def _attention_energies(p: Params, att_hidden: jnp.ndarray,
+                        processed_memory: jnp.ndarray,
+                        att_weights: jnp.ndarray,
+                        att_weights_cum: jnp.ndarray,
+                        compute_dtype=None) -> jnp.ndarray:
+    """energies = v . tanh(W_q q + W_loc conv([w; w_cum]) + W_m memory)
+    (reference model.py:43-63). Split out so the training scan can
+    rematerialize it: its (B, T_in, att_dim) tanh residuals are the largest
+    per-step activations saved for the backward pass (2x 4 MB/step at
+    B=128 vs the ~1 MB of everything else) — recomputing these few small
+    ops is cheaper than streaming them to/from HBM."""
     weights_cat = jnp.stack([att_weights, att_weights_cum], axis=-1)  # (B,T,2)
     loc = conv1d(p["location_conv"], weights_cat, compute_dtype=compute_dtype)
     loc = dense(p["location_dense"], loc, compute_dtype=compute_dtype)
@@ -211,25 +214,41 @@ def _attention(p: Params, att_hidden: jnp.ndarray, memory: jnp.ndarray,
                      compute_dtype=compute_dtype)[..., 0]  # (B, T_in)
     # softmax and the attention-weight state stay fp32 regardless of the
     # compute dtype — cheap, and keeps the scan carry dtype stable.
-    energies = energies.astype(jnp.float32)
+    return energies.astype(jnp.float32)
+
+
+def _attention(p: Params, att_hidden: jnp.ndarray, memory: jnp.ndarray,
+               processed_memory: jnp.ndarray, att_weights: jnp.ndarray,
+               att_weights_cum: jnp.ndarray, mask: Optional[jnp.ndarray],
+               compute_dtype=None,
+               remat_energies: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Location-sensitive additive attention (reference model.py:29-86)."""
+    energy_fn = (jax.checkpoint(_attention_energies, static_argnums=(5,))
+                 if remat_energies else _attention_energies)
+    energies = energy_fn(p, att_hidden, processed_memory,
+                         att_weights, att_weights_cum, compute_dtype)
     if mask is not None:
         energies = jnp.where(mask, energies, -jnp.inf)
     weights = jax.nn.softmax(energies, axis=1)
-    context = jnp.einsum("bt,bte->be", weights,
-                         memory.astype(jnp.float32))
+    if compute_dtype is not None:
+        context = jnp.einsum("bt,bte->be", weights.astype(compute_dtype),
+                             memory.astype(compute_dtype),
+                             preferred_element_type=jnp.float32)
+    else:
+        context = jnp.einsum("bt,bte->be", weights,
+                             memory.astype(jnp.float32))
     return context, weights
 
 
-def decoder_step(params: Params, state: DecoderState, prenet_out: jnp.ndarray,
+def decoder_core(params: Params, state: DecoderState, prenet_out: jnp.ndarray,
                  memory: jnp.ndarray, processed_memory: jnp.ndarray,
                  mask: Optional[jnp.ndarray], cfg: Tacotron2Config, *,
                  training: bool, rng: Optional[jax.Array] = None,
-                 compute_dtype=None,
-                 ) -> Tuple[DecoderState, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
-    """One autoregressive frame (reference Decoder.decode, model.py:340-379).
-
-    attention LSTM -> attention -> decoder LSTM -> mel projection + gate.
-    """
+                 compute_dtype=None) -> DecoderState:
+    """The sequential part of one decoder frame (reference Decoder.decode,
+    model.py:340-379 minus the output heads): attention LSTM -> attention ->
+    decoder LSTM. Everything the next step depends on lives in the returned
+    state; the mel/gate heads (``decoder_head``) are pure functions of it."""
     dp = params
     cell_input = jnp.concatenate([prenet_out, state.att_context], axis=-1)
     att_h, att_c = lstm_cell(dp["attention_rnn"], cell_input,
@@ -240,7 +259,8 @@ def decoder_step(params: Params, state: DecoderState, prenet_out: jnp.ndarray,
 
     att_context, att_weights = _attention(
         dp["attention"], att_h, memory, processed_memory,
-        state.att_weights, state.att_weights_cum, mask, compute_dtype)
+        state.att_weights, state.att_weights_cum, mask, compute_dtype,
+        remat_energies=training and cfg.remat_attention_energies)
     att_weights_cum = state.att_weights_cum + att_weights
 
     dec_input = jnp.concatenate([att_h, att_context], axis=-1)
@@ -250,13 +270,38 @@ def decoder_step(params: Params, state: DecoderState, prenet_out: jnp.ndarray,
         dec_h = dropout(jax.random.fold_in(rng, 1), dec_h,
                         cfg.p_decoder_dropout)
 
+    return DecoderState(att_h, att_c, dec_h, dec_c,
+                        att_weights, att_weights_cum, att_context)
+
+
+def decoder_head(dp: Params, dec_h: jnp.ndarray, att_context: jnp.ndarray,
+                 compute_dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mel projection + stop gate from the decoder LSTM output
+    (reference model.py:373-378). Works on any leading batch/time shape, so
+    teacher forcing applies it to ALL steps in one batched matmul outside
+    the scan — the sequential chain never waits on these heads."""
     proj_input = jnp.concatenate([dec_h, att_context], axis=-1)
     mel_frame = dense(dp["projection"], proj_input, compute_dtype=compute_dtype)
     gate_energy = dense(dp["gate"], proj_input, compute_dtype=compute_dtype)[..., 0]
+    return mel_frame, gate_energy
 
-    new_state = DecoderState(att_h, att_c, dec_h, dec_c,
-                             att_weights, att_weights_cum, att_context)
-    return new_state, (mel_frame, gate_energy, att_weights)
+
+def decoder_step(params: Params, state: DecoderState, prenet_out: jnp.ndarray,
+                 memory: jnp.ndarray, processed_memory: jnp.ndarray,
+                 mask: Optional[jnp.ndarray], cfg: Tacotron2Config, *,
+                 training: bool, rng: Optional[jax.Array] = None,
+                 compute_dtype=None,
+                 ) -> Tuple[DecoderState, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """One full autoregressive frame (reference Decoder.decode,
+    model.py:340-379): core + output heads. Inference paths use this (the
+    gate decides stopping per step); teacher forcing scans ``decoder_core``
+    and runs ``decoder_head`` once over all steps."""
+    new_state = decoder_core(params, state, prenet_out, memory,
+                             processed_memory, mask, cfg, training=training,
+                             rng=rng, compute_dtype=compute_dtype)
+    mel_frame, gate_energy = decoder_head(
+        params, new_state.dec_h, new_state.att_context, compute_dtype)
+    return new_state, (mel_frame, gate_energy, new_state.att_weights)
 
 
 def decode_teacher_forced(params: Params, memory: jnp.ndarray,
@@ -306,14 +351,23 @@ def decode_teacher_forced(params: Params, memory: jnp.ndarray,
         new_state, outs = decoder_step(
             dp, carry, prenet_t, memory, processed_memory, mask, cfg,
             training=training, rng=rng_t, compute_dtype=compute_dtype)
+        # NOTE: hoisting the mel/gate heads out of the scan (one batched
+        # matmul over all steps) was measured SLOWER (219 vs 200 ms/step,
+        # PERFORMANCE.md): the wide (T,B,1536) scan-output writes cost more
+        # than the two small in-step matmuls they replace.
         return new_state, outs
 
     if cfg.remat_decoder:
         step = jax.checkpoint(step)
+    elif cfg.decoder_remat_policy:
+        step = jax.checkpoint(
+            step, policy=getattr(jax.checkpoint_policies,
+                                 cfg.decoder_remat_policy))
 
     xs = (jnp.arange(T_steps), prenet_out.swapaxes(0, 1))
     _, (mel_outputs, gate_energies, alignments) = jax.lax.scan(
-        step, state, xs, unroll=cfg.decoder_scan_unroll)
+        step, state, xs, unroll=cfg.decoder_scan_unroll,
+        _split_transpose=cfg.decoder_scan_split_transpose)
     # (T_steps, B, n_mels*r) -> (B, T_out, n_mels); gate/alignment values
     # are per group-step, repeated r times to per-frame resolution
     mel_outputs = mel_outputs.swapaxes(0, 1).reshape(B, T_out, n_mels)
