@@ -32,14 +32,16 @@ def main() -> None:
     from __graft_entry__ import _make_batch
 
     # Tuned by the round-1 sweep (PERFORMANCE.md): B>=128 fills the
-    # 128-row MXU, unroll=4 amortizes scan bookkeeping, hardware RNG for
-    # dropout keys is +16%. B=256 needs remat and is net slower.
-    # Round-2 additions (+4.6%): bf16 context einsum in the attention and
-    # rematerialized attention energies (the largest per-step residuals).
+    # 128-row MXU, hardware RNG for dropout keys is +16%. Round-2: bf16
+    # context einsum (+2.8%) and the custom-VJP decoder scan
+    # (models/decoder_vjp.py, +25%: backward computes only the sequential
+    # data-gradient chain; LSTM weight gradients are hoisted into single
+    # large matmuls, cuDNN-RNN style). unroll=8 is optimal under the
+    # leaner custom backward (u4 under plain autodiff).
     jax.config.update("jax_default_prng_impl", "unsafe_rbg")
     cfg = Tacotron2Config(compute_dtype="bfloat16", batch_size=128,
-                          decoder_scan_unroll=4, prng_impl="unsafe_rbg",
-                          remat_attention_energies=True)
+                          decoder_scan_unroll=8, prng_impl="unsafe_rbg",
+                          custom_vjp_decoder=True)
     B, T_in, T_out = cfg.batch_size, 128, 512
 
     n_dev = len(jax.devices())

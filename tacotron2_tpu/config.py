@@ -104,6 +104,12 @@ class Tacotron2Config:
     # Rematerialize the decoder step in the backward pass (trade FLOPs for
     # HBM when training long sequences / large batches).
     remat_decoder: bool = False
+    # Hand-written VJP for the teacher-forced decoder scan
+    # (models/decoder_vjp.py): the backward scan computes only the
+    # sequential data-gradient chain and stacks per-step gate cotangents;
+    # LSTM weight gradients become single large matmuls (contraction T*B)
+    # hoisted off the critical path — the cuDNN-RNN-style backward.
+    custom_vjp_decoder: bool = False
     # Checkpoint policy name (jax.checkpoint_policies.*) for the decoder
     # scan step, e.g. "dots_saveable": save only matmul outputs, recompute
     # elementwise ops in the backward — less residual HBM traffic than

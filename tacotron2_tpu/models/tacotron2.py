@@ -344,6 +344,44 @@ def decode_teacher_forced(params: Params, memory: jnp.ndarray,
 
     scan_rng = jax.random.fold_in(rng, 200) if rng is not None else None
 
+    if cfg.custom_vjp_decoder:
+        from tacotron2_tpu.models import decoder_vjp
+        core_params = {
+            "attention_rnn": dp["attention_rnn"],
+            "attention": {k: dp["attention"][k]
+                          for k in ("query", "v", "location_conv",
+                                    "location_dense")},
+            "decoder_rnn": dp["decoder_rnn"],
+        }
+        dec_hs, ctxs, aligns = decoder_vjp.core_scan(
+            core_params, prenet_out.swapaxes(0, 1), memory,
+            processed_memory, mask, scan_rng, cfg, training)
+        mel_outputs, gate_energies = decoder_head(dp, dec_hs, ctxs,
+                                                  compute_dtype)
+        alignments = aligns
+    else:
+        mel_outputs, gate_energies, alignments = _decode_tf_xla(
+            dp, state, prenet_out, memory, processed_memory, mask, cfg,
+            training=training, scan_rng=scan_rng,
+            compute_dtype=compute_dtype)
+    # (T_steps, B, n_mels*r) -> (B, T_out, n_mels); gate/alignment values
+    # are per group-step, repeated r times to per-frame resolution
+    mel_outputs = mel_outputs.swapaxes(0, 1).reshape(B, T_out, n_mels)
+    gate_energies = jnp.repeat(gate_energies.swapaxes(0, 1), r, axis=1)
+    alignments = jnp.repeat(alignments.swapaxes(0, 1), r, axis=1)
+    return mel_outputs, gate_energies, alignments
+
+
+def _decode_tf_xla(dp: Params, state: DecoderState, prenet_out: jnp.ndarray,
+                   memory: jnp.ndarray, processed_memory: jnp.ndarray,
+                   mask: jnp.ndarray, cfg: Tacotron2Config, *,
+                   training: bool, scan_rng: Optional[jax.Array],
+                   compute_dtype=None,
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Plain-autodiff teacher-forced scan (heads in-step); returns
+    time-major (T_steps, B, ...) stacks."""
+    T_steps = prenet_out.shape[1]
+
     def step(carry, xs):
         t, prenet_t = xs
         rng_t = (jax.random.fold_in(scan_rng, t)
@@ -368,11 +406,6 @@ def decode_teacher_forced(params: Params, memory: jnp.ndarray,
     _, (mel_outputs, gate_energies, alignments) = jax.lax.scan(
         step, state, xs, unroll=cfg.decoder_scan_unroll,
         _split_transpose=cfg.decoder_scan_split_transpose)
-    # (T_steps, B, n_mels*r) -> (B, T_out, n_mels); gate/alignment values
-    # are per group-step, repeated r times to per-frame resolution
-    mel_outputs = mel_outputs.swapaxes(0, 1).reshape(B, T_out, n_mels)
-    gate_energies = jnp.repeat(gate_energies.swapaxes(0, 1), r, axis=1)
-    alignments = jnp.repeat(alignments.swapaxes(0, 1), r, axis=1)
     return mel_outputs, gate_energies, alignments
 
 

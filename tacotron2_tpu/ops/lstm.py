@@ -73,6 +73,37 @@ def _lstm_cell_int8(params: Params, x: jnp.ndarray, state: State) -> State:
     return new_h, new_c
 
 
+def lstm_gates(params: Params, x: jnp.ndarray, h: jnp.ndarray,
+               compute_dtype=None) -> jnp.ndarray:
+    """Pre-activation gate block (B, 4H): the cell's two matmuls + biases.
+
+    Exposed separately so the custom-VJP decoder scan
+    (models/decoder_vjp.py) can save the gate pre-activations and hoist
+    the weight-gradient matmuls out of the backward scan."""
+    wi, wh = params["wi"], params["wh"]
+    pet = jnp.float32
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        h = h.astype(compute_dtype)
+        wi = wi.astype(compute_dtype)
+        wh = wh.astype(compute_dtype)
+        pet = compute_dtype  # bf16 out keeps grad transpose well-typed;
+        # the fp32 bias-add below upcasts, and (h, c) stay fp32 in the carry
+    return (
+        jnp.dot(x, wi, preferred_element_type=pet)
+        + jnp.dot(h, wh, preferred_element_type=pet)
+        + params["bi"] + params["bh"]
+    )
+
+
+def lstm_apply_gates(gates: jnp.ndarray, c: jnp.ndarray) -> State:
+    """Elementwise half of the cell: gates (B, 4H) + old c -> (h, c)."""
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    new_c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+    return new_h, new_c
+
+
 def lstm_cell(params: Params, x: jnp.ndarray, state: State,
               compute_dtype=None) -> State:
     """One LSTM step. x: (B, in); state: ((B, H), (B, H)).
@@ -84,26 +115,8 @@ def lstm_cell(params: Params, x: jnp.ndarray, state: State,
     if "w_q" in params:
         return _lstm_cell_int8(params, x, state)
     h, c = state
-    wi, wh = params["wi"], params["wh"]
-    pet = jnp.float32
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        h_in = h.astype(compute_dtype)
-        wi = wi.astype(compute_dtype)
-        wh = wh.astype(compute_dtype)
-        pet = compute_dtype  # bf16 out keeps grad transpose well-typed;
-        # the fp32 bias-add below upcasts, and (h, c) stay fp32 in the carry
-    else:
-        h_in = h
-    gates = (
-        jnp.dot(x, wi, preferred_element_type=pet)
-        + jnp.dot(h_in, wh, preferred_element_type=pet)
-        + params["bi"] + params["bh"]
-    )
-    i, f, g, o = jnp.split(gates, 4, axis=-1)
-    new_c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-    new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
-    return new_h, new_c
+    gates = lstm_gates(params, x, h, compute_dtype)
+    return lstm_apply_gates(gates, c)
 
 
 def lstm_scan(params: Params, xs: jnp.ndarray, state: State | None = None,

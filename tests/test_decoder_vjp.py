@@ -1,0 +1,105 @@
+"""Custom-VJP decoder scan (models/decoder_vjp.py): forward and gradient
+parity against the plain-autodiff XLA path, fp32 on CPU."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tacotron2_tpu.config import Tacotron2Config
+from tacotron2_tpu.models import tacotron2 as m
+
+CFG = Tacotron2Config(
+    n_symbols=148, symbols_embedding_dim=32, encoder_embedding_dim=32,
+    encoder_n_convolutions=2, attention_rnn_dim=40, decoder_rnn_dim=48,
+    prenet_dim=16, attention_dim=24, attention_location_n_filters=8,
+    attention_location_kernel_size=15, postnet_embedding_dim=32,
+    postnet_n_convolutions=3, n_mel_channels=20, max_decoder_steps=50,
+)
+CFG_VJP = CFG.replace(custom_vjp_decoder=True)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params, _ = m.init_params(jax.random.PRNGKey(0), CFG)
+    rng = np.random.RandomState(1)
+    B, T_in, T_out = 4, 12, 18
+    memory = jnp.asarray(rng.randn(B, T_in, 32).astype(np.float32))
+    memory_lengths = jnp.asarray([12, 10, 7, 5])
+    mels = jnp.asarray(rng.randn(B, T_out, 20).astype(np.float32))
+    return params, memory, memory_lengths, mels
+
+
+def _decode(params, memory, memory_lengths, mels, cfg, training, rng):
+    return m.decode_teacher_forced(params, memory, memory_lengths, mels,
+                                   cfg, training=training, rng=rng)
+
+
+@pytest.mark.parametrize("training,use_rng", [(False, False), (True, True)])
+def test_forward_parity(setup, training, use_rng):
+    params, memory, memory_lengths, mels = setup
+    rng = jax.random.PRNGKey(7) if use_rng else None
+    ref = _decode(params, memory, memory_lengths, mels, CFG, training, rng)
+    got = _decode(params, memory, memory_lengths, mels, CFG_VJP, training, rng)
+    for r, g, name in zip(ref, got, ["mel", "gate", "align"]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
+
+
+def _loss_fn(cfg, training, rng):
+    def loss(params, memory, mels, memory_lengths):
+        mel, gate, align = m.decode_teacher_forced(
+            params, memory, memory_lengths, mels, cfg,
+            training=training, rng=rng)
+        # exercise every output cotangent, with distinct weights
+        return (jnp.sum(mel ** 2) + 0.5 * jnp.sum(jax.nn.sigmoid(gate))
+                + 0.25 * jnp.sum(align * align))
+    return loss
+
+
+@pytest.mark.parametrize("training,use_rng", [(False, False), (True, True)])
+def test_grad_parity(setup, training, use_rng):
+    params, memory, memory_lengths, mels = setup
+    rng = jax.random.PRNGKey(3) if use_rng else None
+    # grads wrt params, the encoder memory, and the teacher mels (prenet path)
+    g_ref = jax.grad(_loss_fn(CFG, training, rng), argnums=(0, 1, 2))(
+        params, memory, mels, memory_lengths)
+    g_new = jax.grad(_loss_fn(CFG_VJP, training, rng), argnums=(0, 1, 2))(
+        params, memory, mels, memory_lengths)
+
+    flat_ref, tree_ref = jax.tree.flatten(g_ref)
+    flat_new, tree_new = jax.tree.flatten(g_new)
+    assert tree_ref == tree_new
+    paths = [jax.tree_util.keystr(p)
+             for p, _ in jax.tree_util.tree_flatten_with_path(g_ref)[0]]
+    for path, a, b in zip(paths, flat_ref, flat_new):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-5 * scale,
+                                   err_msg=path)
+
+
+def test_grad_zero_outside_decoder(setup):
+    """Params not used by the decoder scan (postnet, encoder convs) get
+    exactly zero gradient through decode_teacher_forced in both paths."""
+    params, memory, memory_lengths, mels = setup
+    g = jax.grad(_loss_fn(CFG_VJP, True, jax.random.PRNGKey(0)))(
+        params, memory, mels, memory_lengths)
+    assert all(float(jnp.abs(x).max()) == 0.0
+               for x in jax.tree.leaves(g["postnet"]))
+
+
+def test_reduction_factor_parity(setup):
+    """r=2 grouping works through the custom path too."""
+    params_r1, memory, memory_lengths, mels = setup
+    cfg = CFG.replace(n_frames_per_step=2)
+    params, _ = m.init_params(jax.random.PRNGKey(0), cfg)
+    ref = m.decode_teacher_forced(params, memory, memory_lengths, mels,
+                                  cfg, training=False, rng=None)
+    got = m.decode_teacher_forced(params, memory, memory_lengths, mels,
+                                  cfg.replace(custom_vjp_decoder=True),
+                                  training=False, rng=None)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-6, atol=1e-6)

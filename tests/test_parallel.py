@@ -120,6 +120,26 @@ class TestShardedTraining:
         np.testing.assert_allclose(float(metrics.loss),
                                    float(expected.loss), rtol=2e-5)
 
+    def test_dp_step_custom_vjp_decoder(self):
+        """The custom-VJP decoder scan (models/decoder_vjp.py) composes
+        with the GSPMD-sharded train step and matches the autodiff path."""
+        cfg = CFG.replace(custom_vjp_decoder=True)
+        mesh = create_mesh((8, 1))
+        batch = make_batch(B=8)
+        rng = jax.random.PRNGKey(7)
+
+        state = create_sharded_state(jax.random.PRNGKey(0), cfg, mesh)
+        step = make_train_step(cfg, mesh, state)
+        new_state, metrics = step(state, batch, rng)
+
+        state_ref = create_train_state(jax.random.PRNGKey(0), CFG)
+        _, expected, _ = jax.jit(
+            lambda s, b, r: train_step(s, b, r, CFG))(state_ref, batch, rng)
+        np.testing.assert_allclose(float(metrics.loss),
+                                   float(expected.loss), rtol=2e-5)
+        np.testing.assert_allclose(float(metrics.grad_norm),
+                                   float(expected.grad_norm), rtol=2e-4)
+
     def test_eval_step_sharded(self):
         mesh = create_mesh((8, 1))
         batch = make_batch(B=8)
