@@ -124,6 +124,7 @@ class TestShardedTraining:
         """The custom-VJP decoder scan (models/decoder_vjp.py) composes
         with the GSPMD-sharded train step and matches the autodiff path."""
         cfg = CFG.replace(custom_vjp_decoder=True)
+        cfg_ref = CFG.replace(custom_vjp_decoder=False)
         mesh = create_mesh((8, 1))
         batch = make_batch(B=8)
         rng = jax.random.PRNGKey(7)
@@ -132,9 +133,10 @@ class TestShardedTraining:
         step = make_train_step(cfg, mesh, state)
         new_state, metrics = step(state, batch, rng)
 
-        state_ref = create_train_state(jax.random.PRNGKey(0), CFG)
+        state_ref = create_train_state(jax.random.PRNGKey(0), cfg_ref)
         _, expected, _ = jax.jit(
-            lambda s, b, r: train_step(s, b, r, CFG))(state_ref, batch, rng)
+            lambda s, b, r: train_step(s, b, r, cfg_ref))(
+                state_ref, batch, rng)
         np.testing.assert_allclose(float(metrics.loss),
                                    float(expected.loss), rtol=2e-5)
         np.testing.assert_allclose(float(metrics.grad_norm),
