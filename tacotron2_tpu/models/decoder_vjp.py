@@ -144,7 +144,7 @@ def core_scan(dp_core, prenet_steps, memory, processed, mask, scan_rng,
 def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
     """Build the custom-VJP scan for a static (cfg, dropout_active)."""
     from tacotron2_tpu.models.tacotron2 import (  # deferred: no cycle
-        DecoderState, _attention, init_decoder_state,
+        DecoderState, _attention, _attention_energies, init_decoder_state,
     )
 
     compute_dtype = cfg.jax_compute_dtype
@@ -215,15 +215,28 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
         wcum_prev = jnp.cumsum(res.w, axis=0) - res.w  # exclusive prefix sum
         ctx_prev = _shift(res.ctx)
 
-        def attn_fn(att_p, att_h, w_p, wc_p, proc, mem):
-            return _attention(att_p, att_h, mem, proc, w_p, wc_p, mask,
-                              compute_dtype)
+        # The context bmm (ctx = sum_i w_i mem_i) is differentiated by
+        # hand so `memory` never enters the per-step VJP: its per-step
+        # cotangent is a (B, T_in, E) outer product (33 MB at B=128) whose
+        # materialize+accumulate traffic dominated the reverse scan. Since
+        # ctx is LINEAR in memory, d_mem = sum_t w_t (x) d_ctx_t hoists to
+        # ONE post-scan einsum over the saved attention weights and the
+        # stacked context cotangents. The energies+softmax block (whose
+        # weight/processed-memory grads are small) stays autodiff-exact.
+        def attn_weights_fn(att_p, att_h, w_p, wc_p, proc):
+            energies = _attention_energies(att_p, att_h, proc, w_p, wc_p,
+                                           compute_dtype)
+            if mask is not None:
+                energies = jnp.where(mask, energies, -jnp.inf)
+            return jax.nn.softmax(energies, axis=1)
 
         zero_attp = jax.tree.map(lambda x: jnp.zeros_like(x), attp)
+        mem_c = (memory.astype(compute_dtype) if compute_dtype is not None
+                 else memory.astype(f32))
 
         def step(carry, xs):
             (d_att_h, d_att_c, d_dec_h, d_dec_c, d_w, d_wcum, d_ctx,
-             d_proc_acc, d_mem_acc, d_attp_acc) = carry
+             d_proc_acc, d_attp_acc) = carry
             (t, ga_t, gd_t, att_h_t, att_c_t, att_c_p, dec_c_t, dec_c_p,
              w_t, w_p, wc_p, d_dec_h_out_t, d_ctx_out_t, d_align_t) = xs
 
@@ -245,12 +258,18 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
             d_att_h_from_xd = dxd[:, :A]
             d_ctx_total = d_ctx + d_ctx_out_t.astype(f32) + dxd[:, A:]
 
-            # attention block (energies + softmax + context), autodiff-exact
-            d_w_total = d_w + d_wcum + d_align_t.astype(f32)
-            _, attn_vjp = jax.vjp(attn_fn, attp, att_h_t, w_p, wc_p,
-                                  processed, memory)
-            (d_attp, d_att_h_from_attn, d_w_prev, d_wcum_prev, d_proc,
-             d_mem) = attn_vjp((d_ctx_total, d_w_total))
+            # context bmm backward (hand-written; see block comment above)
+            d_w_from_ctx = jnp.einsum(
+                "be,bte->bt", d_ctx_total.astype(mem_c.dtype), mem_c,
+                preferred_element_type=f32)
+
+            # energies + softmax backward, autodiff-exact
+            d_w_total = (d_w + d_wcum + d_align_t.astype(f32)
+                         + d_w_from_ctx.astype(f32))
+            _, attn_vjp = jax.vjp(attn_weights_fn, attp, att_h_t, w_p,
+                                  wc_p, processed)
+            (d_attp, d_att_h_from_attn, d_w_prev, d_wcum_prev,
+             d_proc) = attn_vjp(d_w_total)
 
             # attention LSTM
             d_att_h_total = (d_att_h + d_att_h_from_xd
@@ -275,10 +294,9 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
                 d_wcum + d_wcum_prev.astype(f32),
                 d_ctx_prev,
                 d_proc_acc + d_proc.astype(f32),
-                d_mem_acc + d_mem.astype(f32),
                 jax.tree.map(jnp.add, d_attp_acc, d_attp),
             )
-            return new_carry, (dga_c, dgd_c, d_prenet_t)
+            return new_carry, (dga_c, dgd_c, d_prenet_t, d_ctx_total)
 
         carry0 = (
             jnp.zeros((B, A), f32), jnp.zeros((B, A), f32),
@@ -286,15 +304,20 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
             jnp.zeros((B, T_in), f32), jnp.zeros((B, T_in), f32),
             jnp.zeros((B, E), f32),
             jnp.zeros((B, T_in, processed.shape[-1]), f32),
-            jnp.zeros((B, T_in, E), f32),
             zero_attp,
         )
         xs = (jnp.arange(T), res.ga, res.gd, res.att_h, res.att_c,
               att_c_prev, res.dec_c, dec_c_prev, res.w, w_prev, wcum_prev,
               d_dec_h_out, d_ctx_out, d_align_out)
-        carry, (dga_stack, dgd_stack, d_prenet) = jax.lax.scan(
+        carry, (dga_stack, dgd_stack, d_prenet, dctx_stack) = jax.lax.scan(
             step, carry0, xs, reverse=True, unroll=unroll)
-        (_, _, _, _, _, _, _, d_proc_acc, d_mem_acc, d_attp_acc) = carry
+        (_, _, _, _, _, _, _, d_proc_acc, d_attp_acc) = carry
+
+        # hoisted memory gradient: ctx_t = sum_i w_ti mem_ie is linear, so
+        # d_mem = sum_t w_t (x) d_ctx_t — one batched matmul (contraction T)
+        # instead of a 33 MB accumulator riding the reverse scan.
+        d_mem_acc = jnp.einsum("tbi,tbe->bie", res.w, dctx_stack,
+                               preferred_element_type=f32)
 
         # hoisted weight gradients: one big matmul each, contraction T*B
         att_h_prev = _shift(res.att_h)
