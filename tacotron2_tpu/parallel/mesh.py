@@ -11,6 +11,7 @@ shardings; there is no hand-written collective code in the training path.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -19,6 +20,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "dp"
 MODEL_AXIS = "mp"
+
+# Environment variables that indicate a multi-process run whose coordinator
+# must be contacted BEFORE the local XLA backend is initialized.
+_COORDINATOR_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",   # explicit jax.distributed configuration
+    "COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",      # Cloud TPU pod slice metadata
+    "MEGASCALE_COORDINATOR_ADDRESS",  # multi-slice runtime
+)
 
 
 def create_mesh(shape: Optional[Tuple[int, int]] = None,
@@ -37,17 +47,35 @@ def create_mesh(shape: Optional[Tuple[int, int]] = None,
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
-def initialize_distributed() -> None:
+def initialize_distributed(
+        coordinator_address: Optional[str] = None,
+        num_processes: Optional[int] = None,
+        process_id: Optional[int] = None) -> None:
     """Multi-host runtime bring-up (equivalent of the reference's
-    ``init_distributed``/NCCL rendezvous, train.py:27-39). On TPU pods the
-    coordinator address and process indices come from the environment."""
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
-    try:
-        jax.distributed.initialize()
-    except (ValueError, RuntimeError):
-        # single-process environment (tests, single-host dev) — fine.
-        pass
+    ``init_distributed``/NCCL rendezvous, train.py:27-39).
+
+    Must run BEFORE anything touches the XLA backend (``jax.devices()``,
+    ``jax.process_count()``, any jit): JAX requires distributed init to
+    precede backend initialization, and querying the backend first would
+    silently degrade a pod run into N independent single-process runs.
+    Therefore the multi-process decision is made purely from the explicit
+    arguments / environment, never from backend queries.
+
+    Explicit arguments (used by the 2-process localhost test,
+    tests/test_distributed.py) or a coordinator environment variable make
+    rendezvous mandatory — failures propagate loudly. With neither, this is
+    a single-process run and a no-op.
+    """
+    if jax.distributed.is_initialized():
+        return
+    explicit = coordinator_address is not None
+    detected = any(os.environ.get(v) for v in _COORDINATOR_ENV_VARS)
+    if not (explicit or detected):
+        return  # single-process environment (tests, single-host dev)
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
