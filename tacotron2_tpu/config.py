@@ -82,6 +82,12 @@ class Tacotron2Config:
     mask_padding: bool = True
 
     # ---- TPU-native additions (no reference equivalent) ----
+    # Metric host-sync cadence: the trainer pulls loss/grad-norm to the
+    # host every log_interval steps (and at every checkpoint boundary).
+    # The reference syncs every step (train.py:219 loss.item()), which
+    # stalls the device behind the host; at a cadence the prefetcher and
+    # async dispatch run ahead. 1 = reference-style per-step logging.
+    log_interval: int = 10
     # Compute dtype for matmuls/convs; params and optimizer state stay fp32.
     # Replaces the reference's Apex AMP fp16 path (train.py:173-176) — bf16
     # on TPU needs no loss scaling.
@@ -98,6 +104,11 @@ class Tacotron2Config:
     # Prenet dropout is active even at inference in the reference
     # (model.py:99); keep that as the default but allow turning it off.
     prenet_dropout_at_inference: bool = True
+    # The reference's validation also runs with prenet dropout active
+    # (model.py:99 + train.py:121-146). True (default) reproduces that —
+    # needed for val-loss parity against a reference run; False runs the
+    # eval prenet deterministically for a noise-free validation signal.
+    eval_prenet_dropout: bool = True
     # Decoder scan unrolling: amortizes per-step loop overhead on TPU at
     # the cost of compile time. 1 = no unroll.
     decoder_scan_unroll: int = 1

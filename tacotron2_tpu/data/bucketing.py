@@ -12,20 +12,41 @@ padding waste low. Gate targets are built exactly like the reference:
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from tacotron2_tpu.config import Tacotron2Config
 
+_EXTENSION_WARNED: set = set()
+
 
 def text_bucket(length: int, buckets: Sequence[int]) -> int:
-    """Smallest bucket >= length (lengths beyond the last bucket clamp to
-    it; callers should filter such items or extend the bucket list)."""
+    """Smallest bucket >= length.
+
+    Lengths beyond the last configured bucket AUTO-EXTEND the grid (next
+    multiple of the last inter-bucket spacing) rather than clamping — a
+    clamp would silently truncate the transcript tail downstream. The
+    reference pads to the true batch max and never truncates
+    (data_utils.py:80-96); one extra compile shape is the honest price.
+    A warning (once per extended shape) flags the config as undersized.
+    """
     for b in buckets:
         if length <= b:
             return b
-    return buckets[-1]
+    spacing = buckets[-1] - buckets[-2] if len(buckets) >= 2 else buckets[-1]
+    extended = (buckets[-1]
+                + spacing * math.ceil((length - buckets[-1]) / spacing))
+    key = (tuple(buckets), extended)
+    if key not in _EXTENSION_WARNED:
+        _EXTENSION_WARNED.add(key)
+        warnings.warn(
+            f"text length {length} exceeds the largest configured text "
+            f"bucket {buckets[-1]}; auto-extending to a {extended} bucket "
+            f"(one extra compile shape). Add larger text_buckets to the "
+            f"config to silence this.", stacklevel=2)
+    return extended
 
 
 def mel_bucket(length: int, step: int, max_length: int) -> int:
@@ -50,9 +71,21 @@ def pad_batch(items: List[Tuple[np.ndarray, np.ndarray]],
     gate = np.zeros((B, t_mel), np.float32)
     mel_lengths = np.zeros((B,), np.int32)
     for i, (ids, m) in enumerate(items):
-        L_t = min(len(ids), t_text)
-        L_m = min(m.shape[1], t_mel)
-        text[i, :L_t] = ids[:L_t]
+        L_t = len(ids)
+        if L_t > t_text:
+            raise ValueError(
+                f"text row {i} has {L_t} symbols > padded shape {t_text}; "
+                "bucketing must never truncate text (text_bucket "
+                "auto-extends — this indicates a mis-sized caller shape)")
+        L_m = m.shape[1]
+        if L_m > t_mel:
+            warnings.warn(
+                f"mel row {i} truncated {L_m} -> {t_mel} frames by the "
+                f"max_mel_length cap; its gate target will fire early. "
+                f"Raise max_mel_length to train on full-length audio.",
+                stacklevel=2)
+            L_m = t_mel
+        text[i, :L_t] = ids
         text_lengths[i] = L_t
         mel[i, :L_m] = m.T[:L_m]
         gate[i, L_m - 1:] = 1.0

@@ -71,18 +71,22 @@ class DataPipeline:
 
         def assemble(shape_and_items):
             (t_text, t_mel), item_idxs = shape_and_items
-            if len(item_idxs) < self.batch_size:
+            n_real = len(item_idxs)
+            if n_real < self.batch_size:
                 # pad partial (non-drop_last) batches to the full batch size
                 # by cycling items: keeps one compile shape per bucket and a
-                # dp-divisible batch dimension. Slightly overweights the
-                # repeated rows in validation averages.
-                reps = -(-self.batch_size // len(item_idxs))
+                # dp-divisible batch dimension. The cycled duplicates are
+                # marked invalid in row_valid so the validation loss can
+                # weight them out (training/loss.py).
+                reps = -(-self.batch_size // n_real)
                 item_idxs = (item_idxs * reps)[:self.batch_size]
             items = list(pool.map(
                 lambda j: self.dataset[self.indices[j]], item_idxs))
             arrays = pad_batch(items, t_text, t_mel,
                                self.config.n_frames_per_step)
-            return Batch(*arrays)
+            row_valid = np.zeros((len(item_idxs),), np.float32)
+            row_valid[:n_real] = 1.0
+            return Batch(*arrays, row_valid=row_valid)
 
         for shape_and_items in sampler.batches(rng):
             yield assemble(shape_and_items)

@@ -26,7 +26,13 @@ Numerics: the forward pass reuses the exact primitives of the XLA path
 ``ops.layers.dropout`` with identical key derivation), so forward values
 match ``decode_teacher_forced`` bit-for-bit in fp32 and up to dot-order
 in bf16. Gradients are verified against autodiff in
-tests/test_decoder_vjp.py (fp32, atol 1e-5 relative scale).
+tests/test_decoder_vjp.py (fp32 at atol 1e-5 relative scale; bf16 at a
+loose tolerance). In the bf16 path the backward deliberately downcasts
+cotangents at the matmul boundaries — dga/dgd, d_ctx (both in-scan for
+d_w_from_ctx and as the stacked (T, B, E) output), and the hoisted dW /
+d_mem einsum inputs are bf16 with fp32 accumulation — mirroring where
+autodiff's bf16 forward puts its casts; elementwise backward math
+(LSTM-gate activations, dropout masks, softmax VJP) stays fp32.
 
 Reference behavior covered: the teacher-forced decoder loop
 (/root/reference/model.py:381-416) including per-step attention
@@ -144,7 +150,7 @@ def core_scan(dp_core, prenet_steps, memory, processed, mask, scan_rng,
 def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
     """Build the custom-VJP scan for a static (cfg, dropout_active)."""
     from tacotron2_tpu.models.tacotron2 import (  # deferred: no cycle
-        DecoderState, _attention, _attention_energies, init_decoder_state,
+        DecoderState, _attention, _attention_weights, init_decoder_state,
     )
 
     compute_dtype = cfg.jax_compute_dtype
@@ -224,11 +230,10 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
         # stacked context cotangents. The energies+softmax block (whose
         # weight/processed-memory grads are small) stays autodiff-exact.
         def attn_weights_fn(att_p, att_h, w_p, wc_p, proc):
-            energies = _attention_energies(att_p, att_h, proc, w_p, wc_p,
-                                           compute_dtype)
-            if mask is not None:
-                energies = jnp.where(mask, energies, -jnp.inf)
-            return jax.nn.softmax(energies, axis=1)
+            # the forward's masked softmax, verbatim — shared helper so the
+            # rematerialized backward can never diverge from _attention
+            return _attention_weights(att_p, att_h, proc, w_p, wc_p, mask,
+                                      compute_dtype)
 
         zero_attp = jax.tree.map(lambda x: jnp.zeros_like(x), attp)
         mem_c = (memory.astype(compute_dtype) if compute_dtype is not None
@@ -296,7 +301,11 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
                 d_proc_acc + d_proc.astype(f32),
                 jax.tree.map(jnp.add, d_attp_acc, d_attp),
             )
-            return new_carry, (dga_c, dgd_c, d_prenet_t, d_ctx_total)
+            # d_ctx stacked in the storage dtype: halves the (T, B, E)
+            # stack's HBM footprint; the bf16 path already feeds bf16-cast
+            # d_ctx into the d_w_from_ctx einsum above, so numerics match.
+            return new_carry, (dga_c, dgd_c, d_prenet_t,
+                               d_ctx_total.astype(sdt))
 
         carry0 = (
             jnp.zeros((B, A), f32), jnp.zeros((B, A), f32),
@@ -315,8 +324,9 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
 
         # hoisted memory gradient: ctx_t = sum_i w_ti mem_ie is linear, so
         # d_mem = sum_t w_t (x) d_ctx_t — one batched matmul (contraction T)
-        # instead of a 33 MB accumulator riding the reverse scan.
-        d_mem_acc = jnp.einsum("tbi,tbe->bie", res.w, dctx_stack,
+        # instead of a 33 MB accumulator riding the reverse scan. Inputs in
+        # the storage dtype, fp32 accumulation (like the dW einsums below).
+        d_mem_acc = jnp.einsum("tbi,tbe->bie", res.w.astype(sdt), dctx_stack,
                                preferred_element_type=f32)
 
         # hoisted weight gradients: one big matmul each, contraction T*B

@@ -217,19 +217,36 @@ def _attention_energies(p: Params, att_hidden: jnp.ndarray,
     return energies.astype(jnp.float32)
 
 
-def _attention(p: Params, att_hidden: jnp.ndarray, memory: jnp.ndarray,
-               processed_memory: jnp.ndarray, att_weights: jnp.ndarray,
-               att_weights_cum: jnp.ndarray, mask: Optional[jnp.ndarray],
-               compute_dtype=None,
-               remat_energies: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Location-sensitive additive attention (reference model.py:29-86)."""
+def _attention_weights(p: Params, att_hidden: jnp.ndarray,
+                       processed_memory: jnp.ndarray,
+                       att_weights: jnp.ndarray,
+                       att_weights_cum: jnp.ndarray,
+                       mask: Optional[jnp.ndarray],
+                       compute_dtype=None,
+                       remat_energies: bool = False) -> jnp.ndarray:
+    """Masked softmax over the attention energies (reference
+    model.py:79-81: masked_fill(-inf) then softmax). The single source of
+    truth for the mask-fill value and softmax axis — used by the forward
+    (``_attention``) and rematerialized inside the custom-VJP backward
+    (models/decoder_vjp.py), which must stay bit-identical to it."""
     energy_fn = (jax.checkpoint(_attention_energies, static_argnums=(5,))
                  if remat_energies else _attention_energies)
     energies = energy_fn(p, att_hidden, processed_memory,
                          att_weights, att_weights_cum, compute_dtype)
     if mask is not None:
         energies = jnp.where(mask, energies, -jnp.inf)
-    weights = jax.nn.softmax(energies, axis=1)
+    return jax.nn.softmax(energies, axis=1)
+
+
+def _attention(p: Params, att_hidden: jnp.ndarray, memory: jnp.ndarray,
+               processed_memory: jnp.ndarray, att_weights: jnp.ndarray,
+               att_weights_cum: jnp.ndarray, mask: Optional[jnp.ndarray],
+               compute_dtype=None,
+               remat_energies: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Location-sensitive additive attention (reference model.py:29-86)."""
+    weights = _attention_weights(p, att_hidden, processed_memory,
+                                 att_weights, att_weights_cum, mask,
+                                 compute_dtype, remat_energies)
     if compute_dtype is not None:
         context = jnp.einsum("bt,bte->be", weights.astype(compute_dtype),
                              memory.astype(compute_dtype),

@@ -26,9 +26,17 @@ MODEL_AXIS = "mp"
 _COORDINATOR_ENV_VARS = (
     "JAX_COORDINATOR_ADDRESS",   # explicit jax.distributed configuration
     "COORDINATOR_ADDRESS",
-    "TPU_WORKER_HOSTNAMES",      # Cloud TPU pod slice metadata
     "MEGASCALE_COORDINATOR_ADDRESS",  # multi-slice runtime
 )
+
+
+def _multiprocess_env() -> bool:
+    if any(os.environ.get(v) for v in _COORDINATOR_ENV_VARS):
+        return True
+    # Cloud TPU pod slice metadata: multi-process only with >1 worker —
+    # a single-entry list is a plain single-host VM.
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in hostnames.split(",") if h.strip()]) > 1
 
 
 def create_mesh(shape: Optional[Tuple[int, int]] = None,
@@ -69,8 +77,7 @@ def initialize_distributed(
     if jax.distributed.is_initialized():
         return
     explicit = coordinator_address is not None
-    detected = any(os.environ.get(v) for v in _COORDINATOR_ENV_VARS)
-    if not (explicit or detected):
+    if not (explicit or _multiprocess_env()):
         return  # single-process environment (tests, single-host dev)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -66,12 +66,17 @@ def make_eval_step(cfg: Tacotron2Config, mesh: Mesh,
     batch_shardings = NamedSharding(mesh, P(DATA_AXIS))
     replicated = NamedSharding(mesh, P())
 
-    def step(state, batch):
-        breakdown, output = eval_step(state, batch, cfg)
+    def step(state, batch, rng):
+        breakdown, output = eval_step(state, batch, cfg, rng)
         return breakdown, output
 
-    return jax.jit(
+    jitted = jax.jit(
         step,
-        in_shardings=(state_shardings, batch_shardings),
+        in_shardings=(state_shardings, batch_shardings, replicated),
         out_shardings=(replicated, batch_shardings),
     )
+
+    def call(state, batch, rng=None):
+        return jitted(state, batch, rng)
+
+    return call

@@ -17,13 +17,12 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from tacotron2_tpu.config import Tacotron2Config
 from tacotron2_tpu.models import tacotron2 as model
 from tacotron2_tpu.training.loss import tacotron2_loss
 from tacotron2_tpu.training.state import (
-    Batch, StepMetrics, TrainState, _compute_dtype, make_optimizer,
+    Batch, StepMetrics, TrainState, _compute_dtype, guarded_update,
 )
 
 
@@ -71,16 +70,11 @@ def accum_train_step(state: TrainState, batch: Batch, rng: jax.Array,
     grads = jax.tree.map(lambda g: g / n_micro, grad_sum)
     new_stats = jax.tree.map(lambda s: s / n_micro, stats_sum)
 
-    grad_norm = optax.global_norm(grads)
-    tx = make_optimizer(cfg)
-    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-    updates = jax.tree.map(lambda u: u * state.learning_rate, updates)
-    new_params = optax.apply_updates(state.params, updates)
-
-    new_state = TrainState(state.step + 1, new_params, new_stats,
-                           new_opt_state, state.learning_rate)
+    loss = loss_sum / n_micro
+    new_state, grad_norm, applied = guarded_update(
+        state, grads, new_stats, loss, cfg)
     mean = lambda x: jnp.mean(x)
-    metrics = StepMetrics(loss_sum / n_micro, mean(breakdowns.mel),
+    metrics = StepMetrics(loss, mean(breakdowns.mel),
                           mean(breakdowns.mel_postnet),
-                          mean(breakdowns.gate), grad_norm)
+                          mean(breakdowns.gate), grad_norm, applied)
     return new_state, metrics

@@ -34,16 +34,35 @@ def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
 
 
 def tacotron2_loss(output: ForwardOutput, mel_target: jnp.ndarray,
-                   gate_target: jnp.ndarray) -> LossBreakdown:
+                   gate_target: jnp.ndarray,
+                   row_weights: jnp.ndarray | None = None) -> LossBreakdown:
     """output: model ForwardOutput; mel_target: (B, T, n_mels);
     gate_target: (B, T) with 1.0 from each row's last real frame on
-    (reference data_utils.py:107)."""
+    (reference data_utils.py:107).
+
+    row_weights: optional (B,) per-row weights. Static-shape batches pad
+    partial (validation) batches by cycling rows (data/pipeline.py); with
+    row_weights = the validity mask, duplicated rows drop out of the mean
+    and the result equals the reference's exact mean over real rows
+    (train.py:121-146). None = plain full-tensor mean (identical when all
+    rows are real, since every row has the same padded element count).
+    """
     mel_target = jax.lax.stop_gradient(mel_target)
     gate_target = jax.lax.stop_gradient(gate_target)
 
-    mel_loss = jnp.mean(jnp.square(output.mel - mel_target))
-    postnet_loss = jnp.mean(jnp.square(output.mel_postnet - mel_target))
-    gate_loss = jnp.mean(bce_with_logits(output.gate_energies, gate_target))
+    mel_sq = jnp.square(output.mel - mel_target)
+    postnet_sq = jnp.square(output.mel_postnet - mel_target)
+    gate_bce = bce_with_logits(output.gate_energies, gate_target)
+
+    if row_weights is None:
+        mel_loss = jnp.mean(mel_sq)
+        postnet_loss = jnp.mean(postnet_sq)
+        gate_loss = jnp.mean(gate_bce)
+    else:
+        w = row_weights / jnp.maximum(jnp.sum(row_weights), 1.0)  # (B,)
+        mel_loss = jnp.sum(w * jnp.mean(mel_sq, axis=(1, 2)))
+        postnet_loss = jnp.sum(w * jnp.mean(postnet_sq, axis=(1, 2)))
+        gate_loss = jnp.sum(w * jnp.mean(gate_bce, axis=1))
 
     return LossBreakdown(mel_loss + postnet_loss + gate_loss,
                          mel_loss, postnet_loss, gate_loss)

@@ -16,7 +16,7 @@ running-stat estimates, not gradients.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +42,11 @@ class Batch(NamedTuple):
     mel: jnp.ndarray             # (B, T_out, n_mels) f32
     gate_target: jnp.ndarray     # (B, T_out) f32 — 1.0 from last real frame
     mel_lengths: jnp.ndarray     # (B,) int32
+    # (B,) f32 validity mask: 0.0 marks rows that are cycled duplicates
+    # padding a partial batch to the static shape (data/pipeline.py). The
+    # validation loss weights rows by it; None (the default, and the train
+    # path with drop_last) means all rows are real.
+    row_valid: Optional[jnp.ndarray] = None
 
 
 def make_optimizer(cfg: Tacotron2Config) -> optax.GradientTransformation:
@@ -74,10 +79,40 @@ class StepMetrics(NamedTuple):
     postnet_loss: jnp.ndarray
     gate_loss: jnp.ndarray
     grad_norm: jnp.ndarray
+    # 1.0 when the update was applied, 0.0 when a non-finite loss/grad
+    # caused the step to be skipped on-device (see _guarded_update).
+    applied: jnp.ndarray
 
 
 def _compute_dtype(cfg: Tacotron2Config):
     return {"float32": None, "bfloat16": jnp.bfloat16}[cfg.compute_dtype]
+
+
+def guarded_update(state: TrainState, grads, new_stats, loss: jnp.ndarray,
+                   cfg: Tacotron2Config,
+                   ) -> Tuple[TrainState, jnp.ndarray, jnp.ndarray]:
+    """Apply the optimizer update, skipping it ON-DEVICE when the loss or
+    gradient is non-finite — params, optimizer state and batchnorm stats
+    keep their previous values and only ``step`` advances. This is the
+    bf16-world analog of the reference's fp16 overflow skip
+    (train.py:228-249, Apex AMP), done without a host sync: the trainer
+    never has to pull the loss to decide, so it can log at a cadence while
+    the device runs ahead. Returns (new_state, grad_norm, applied)."""
+    grad_norm = optax.global_norm(grads)
+    finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+    tx = make_optimizer(cfg)
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    updates = jax.tree.map(lambda u: u * state.learning_rate, updates)
+    new_params = optax.apply_updates(state.params, updates)
+
+    keep = lambda new, old: jax.tree.map(
+        lambda n, o: jnp.where(finite, n, o), new, old)
+    new_state = TrainState(state.step + 1,
+                           keep(new_params, state.params),
+                           keep(new_stats, state.stats),
+                           keep(new_opt_state, state.opt_state),
+                           state.learning_rate)
+    return new_state, grad_norm, finite.astype(jnp.float32)
 
 
 def train_step(state: TrainState, batch: Batch, rng: jax.Array,
@@ -98,27 +133,30 @@ def train_step(state: TrainState, batch: Batch, rng: jax.Array,
     grads, (breakdown, new_stats, output) = jax.grad(
         loss_fn, has_aux=True)(state.params)
 
-    grad_norm = optax.global_norm(grads)
-    tx = make_optimizer(cfg)
-    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-    updates = jax.tree.map(lambda u: u * state.learning_rate, updates)
-    new_params = optax.apply_updates(state.params, updates)
-
-    new_state = TrainState(state.step + 1, new_params, new_stats,
-                           new_opt_state, state.learning_rate)
+    new_state, grad_norm, applied = guarded_update(
+        state, grads, new_stats, breakdown.total, cfg)
     metrics = StepMetrics(breakdown.total, breakdown.mel,
-                          breakdown.mel_postnet, breakdown.gate, grad_norm)
+                          breakdown.mel_postnet, breakdown.gate, grad_norm,
+                          applied)
     return new_state, metrics, output
 
 
 def eval_step(state: TrainState, batch: Batch, cfg: Tacotron2Config,
+              rng: Optional[jax.Array] = None,
               ) -> Tuple[LossBreakdown, model.ForwardOutput]:
     """Validation loss on one batch (reference validate, train.py:121-146):
-    eval-mode batchnorm, no dropout — except the prenet, whose dropout is
-    always active; for a deterministic eval signal we run it deterministically
-    here (rng=None)."""
+    eval-mode batchnorm, no dropout — except the prenet, whose dropout the
+    reference keeps active even at validation (model.py:99 + train.py:121).
+    Pass an rng for those reference semantics (the Trainer does when
+    ``cfg.eval_prenet_dropout``, the default — needed for val-loss parity
+    against a reference run); rng=None runs the prenet deterministically.
+
+    Rows cycled to pad a partial batch (``batch.row_valid`` == 0) are
+    weighted out of the loss, so the result matches the reference's exact
+    mean over real rows regardless of batch partitioning."""
     output, _ = model.forward(
         state.params, state.stats, batch.text, batch.text_lengths, batch.mel,
-        batch.mel_lengths, cfg, training=False, rng=None,
+        batch.mel_lengths, cfg, training=False, rng=rng,
         compute_dtype=_compute_dtype(cfg))
-    return tacotron2_loss(output, batch.mel, batch.gate_target), output
+    return tacotron2_loss(output, batch.mel, batch.gate_target,
+                          row_weights=batch.row_valid), output

@@ -86,35 +86,49 @@ class Trainer:
         cfg = self.config
         epochs = epochs if epochs is not None else cfg.epochs
         steps_per_epoch = train_pipeline.steps_per_epoch()
-        start_epoch = (int(self.state.step) // max(steps_per_epoch, 1)
+        step = int(self.state.step)  # host-side mirror of the step counter
+        start_epoch = (step // max(steps_per_epoch, 1)
                        if steps_per_epoch else 0)
         frames_per_audio_sec = cfg.sampling_rate / cfg.hop_length
 
         for epoch in range(start_epoch, epochs):
             if jax.process_index() == 0:
                 print(f"Epoch {epoch}")
+            interval_t0 = time.perf_counter()
+            interval_steps = interval_frames = 0
             for batch in prefetch(train_pipeline.epoch(epoch), depth=2):
-                t0 = time.perf_counter()
                 if lr_schedule is not None:
-                    self.set_learning_rate(lr_schedule(int(self.state.step)))
+                    self.set_learning_rate(lr_schedule(step))
+                # The step's metrics stay on-device: non-finite updates are
+                # skipped inside the jitted step (guarded_update), so the
+                # host never has to pull the loss to decide anything and
+                # only syncs at the logging cadence — the device and the
+                # prefetcher run ahead in between (the reference stalls on
+                # loss.item() every iteration, train.py:219).
                 self.state, metrics = self.train_step_fn(
                     self.state, batch, self.rng)
-                loss = float(metrics.loss)
-                duration = time.perf_counter() - t0
-                step = int(self.state.step)
+                step += 1
+                interval_steps += 1
+                interval_frames += int(np.prod(batch.mel.shape[:2]))
 
-                finite = np.isfinite(loss)
-                if finite and jax.process_index() == 0:
-                    mel_frames = int(np.prod(batch.mel.shape[:2]))
-                    print(f"Train loss {step} {loss:.6f} Grad Norm "
-                          f"{float(metrics.grad_norm):.6f} {duration:.2f}s/it")
-                    self.logger.log_training(
-                        step, loss, float(metrics.grad_norm),
-                        float(self.state.learning_rate), duration,
-                        mel_frames=mel_frames,
-                        frames_per_audio_sec=frames_per_audio_sec)
-
-                if finite and step % cfg.iters_per_checkpoint == 0:
+                at_ckpt = step % cfg.iters_per_checkpoint == 0
+                if at_ckpt or step % cfg.log_interval == 0:
+                    loss = float(metrics.loss)  # host sync point
+                    duration = ((time.perf_counter() - interval_t0)
+                                / interval_steps)
+                    if jax.process_index() == 0:
+                        skipped = "" if float(metrics.applied) else " SKIPPED"
+                        print(f"Train loss {step} {loss:.6f} Grad Norm "
+                              f"{float(metrics.grad_norm):.6f} "
+                              f"{duration:.2f}s/it{skipped}")
+                        self.logger.log_training(
+                            step, loss, float(metrics.grad_norm),
+                            float(self.state.learning_rate), duration,
+                            mel_frames=interval_frames // interval_steps,
+                            frames_per_audio_sec=frames_per_audio_sec)
+                    interval_t0 = time.perf_counter()
+                    interval_steps = interval_frames = 0
+                if at_ckpt:
                     if val_pipeline is not None:
                         self.validate(val_pipeline, step)
                     self.checkpointer.save(self.state)
@@ -122,14 +136,27 @@ class Trainer:
         return self.state
 
     def validate(self, val_pipeline: DataPipeline, step: int) -> float:
-        total, count = 0.0, 0
+        """Exact validation mean (reference train.py:121-146): each batch's
+        loss is already weighted over its real rows (cycled padding rows
+        masked out); batches are combined weighted by real-row count, so the
+        result is invariant to how the val set is partitioned into batches.
+        """
+        cfg = self.config
+        eval_rng = (jax.random.fold_in(jax.random.PRNGKey(cfg.seed), step)
+                    if cfg.eval_prenet_dropout else None)
+        total, weight = 0.0, 0.0
         last = None
-        for batch in val_pipeline.epoch(0):
-            breakdown, output = self.eval_step_fn(self.state, batch)
-            total += float(breakdown.total)
-            count += 1
+        for i, batch in enumerate(val_pipeline.epoch(0)):
+            rng = (jax.random.fold_in(eval_rng, i)
+                   if eval_rng is not None else None)
+            breakdown, output = self.eval_step_fn(self.state, batch, rng)
+            n_valid = (float(np.sum(batch.row_valid))
+                       if batch.row_valid is not None
+                       else float(batch.text.shape[0]))
+            total += float(breakdown.total) * n_valid
+            weight += n_valid
             last = (output, batch)
-        val_loss = total / max(count, 1)
+        val_loss = total / max(weight, 1.0)
         if jax.process_index() == 0:
             print(f"Validation loss {step}: {val_loss:9f}")
             output, batch = last if last else (None, None)

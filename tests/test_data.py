@@ -91,7 +91,25 @@ class TestBucketing:
         assert text_bucket(5, (16, 32)) == 16
         assert text_bucket(16, (16, 32)) == 16
         assert text_bucket(17, (16, 32)) == 32
-        assert text_bucket(99, (16, 32)) == 32  # clamps to last
+
+    def test_text_bucket_auto_extends_beyond_last(self):
+        """Over-long text must never be clamped (silent truncation); the
+        bucket grid extends by the last spacing, with a warning."""
+        with pytest.warns(UserWarning, match="auto-extending"):
+            assert text_bucket(99, (16, 32)) == 112  # 32 + 16*5
+        assert text_bucket(33, (16, 32)) == 48
+        assert text_bucket(70, (64,)) == 128  # single bucket: spacing = size
+
+    def test_pad_batch_rejects_text_truncation(self):
+        items = [(np.arange(10, dtype=np.int32), np.ones((4, 5), np.float32))]
+        with pytest.raises(ValueError, match="truncate text"):
+            pad_batch(items, t_text=8, t_mel=8)
+
+    def test_pad_batch_warns_on_mel_truncation(self):
+        items = [(np.array([1, 2], np.int32), np.ones((4, 12), np.float32))]
+        with pytest.warns(UserWarning, match="mel row 0 truncated"):
+            _, _, mel, gate, ml = pad_batch(items, t_text=4, t_mel=8)[:5]
+        assert ml[0] == 8
 
     def test_pad_batch_gate_semantics(self):
         """gate = 1.0 from the LAST REAL frame on (data_utils.py:107)."""

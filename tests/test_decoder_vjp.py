@@ -81,6 +81,33 @@ def test_grad_parity(setup, training, use_rng):
                                    err_msg=path)
 
 
+def test_grad_parity_bf16(setup):
+    """bf16 compute path: the custom backward downcasts cotangents at the
+    matmul boundaries where autodiff's bf16 forward puts its casts (module
+    docstring) — parity holds at a loose, bf16-scale tolerance."""
+    params, memory, memory_lengths, mels = setup
+    cfg_ref = CFG.replace(compute_dtype="bfloat16")
+    cfg_vjp = CFG_VJP.replace(compute_dtype="bfloat16")
+    rng = jax.random.PRNGKey(3)
+    g_ref = jax.grad(_loss_fn(cfg_ref, True, rng), argnums=(0, 1, 2))(
+        params, memory, mels, memory_lengths)
+    g_new = jax.grad(_loss_fn(cfg_vjp, True, rng), argnums=(0, 1, 2))(
+        params, memory, mels, memory_lengths)
+
+    flat_ref, tree_ref = jax.tree.flatten(g_ref)
+    flat_new, tree_new = jax.tree.flatten(g_new)
+    assert tree_ref == tree_new
+    paths = [jax.tree_util.keystr(p)
+             for p, _ in jax.tree_util.tree_flatten_with_path(g_ref)[0]]
+    for path, a, b in zip(paths, flat_ref, flat_new):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(a).max(), 1e-2)
+        # bf16 has ~8 mantissa bits; the two paths differ by dot order and
+        # cast placement, so tolerate a few percent of the gradient scale
+        np.testing.assert_allclose(b, a, rtol=0.05, atol=0.05 * scale,
+                                   err_msg=path)
+
+
 def test_grad_zero_outside_decoder(setup):
     """Params not used by the decoder scan (postnet, encoder convs) get
     exactly zero gradient through decode_teacher_forced in both paths."""

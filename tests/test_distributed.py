@@ -30,14 +30,21 @@ def test_initialize_distributed_noop_without_coordinator(monkeypatch):
     """No explicit args, no coordinator env vars -> single-process no-op
     (never silently half-initializes; mesh.py ordering contract)."""
     from tacotron2_tpu.parallel.mesh import (
-        _COORDINATOR_ENV_VARS, initialize_distributed,
+        _COORDINATOR_ENV_VARS, _multiprocess_env, initialize_distributed,
     )
     for var in _COORDINATOR_ENV_VARS:
         monkeypatch.delenv(var, raising=False)
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
     initialize_distributed()  # must not raise and must not rendezvous
     import jax
 
     assert jax.process_count() == 1
+    # single-entry worker list (a plain single-host TPU VM) is NOT
+    # multi-process; two entries are
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert not _multiprocess_env()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    assert _multiprocess_env()
 
 
 def test_two_process_rendezvous(tmp_path):

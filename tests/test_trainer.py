@@ -38,6 +38,34 @@ def corpus(tmp_path_factory):
     return str(filelist)
 
 
+def test_validation_invariant_to_partitioning(tmp_path, tmp_path_factory):
+    """The exact-mean validation (VERDICT r1 #4): cycled padding rows are
+    weighted out and batch means combined by real-row count, so the val loss
+    must not depend on how the set is split into batches — including a
+    5-item set that forces a cycled partial batch at both batch sizes."""
+    root = tmp_path_factory.mktemp("val_corpus")
+    rng = np.random.RandomState(1)
+    lines = []
+    for i in range(5):
+        wav = (rng.randn(4096 + 512 * i) * 2000).astype(np.int16)
+        path = root / f"utt{i}.wav"
+        scipy.io.wavfile.write(path, 22050, wav)
+        lines.append(f"{path}|validation utterance {i}")
+    filelist = root / "val.txt"
+    filelist.write_text("\n".join(lines))
+
+    cfg = CFG.replace(eval_prenet_dropout=False)  # deterministic prenet
+    trainer = Trainer(cfg, str(tmp_path / "run"))
+    ds = TextMelDataset(str(filelist), cfg, shuffle=False)
+    val_a = DataPipeline(ds, cfg, batch_size=2, drop_last=False,
+                         num_workers=2, process_index=0, process_count=1)
+    val_b = DataPipeline(ds, cfg, batch_size=4, drop_last=False,
+                         num_workers=2, process_index=0, process_count=1)
+    loss_a = trainer.validate(val_a, step=0)
+    loss_b = trainer.validate(val_b, step=0)
+    assert loss_a == pytest.approx(loss_b, rel=1e-5)
+
+
 def test_fit_and_resume(corpus, tmp_path):
     out = str(tmp_path / "run")
     trainer = Trainer(CFG, out)

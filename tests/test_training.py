@@ -128,6 +128,57 @@ class TestTrainStep:
         l2, _ = eval_step(state, batch, CFG)
         assert float(l1.total) == float(l2.total)
 
+    def test_nonfinite_step_skipped_on_device(self, state):
+        """A NaN batch must leave params/opt-state/stats untouched (the
+        bf16 analog of the reference's fp16 overflow skip, train.py:228-249)
+        while still advancing the step counter, with metrics.applied=0 —
+        all decided inside the jitted step, no host sync required."""
+        batch = make_batch()
+        bad = batch._replace(mel=batch.mel.at[0, 0, 0].set(jnp.nan))
+        new_state, metrics, _ = jax.jit(
+            functools.partial(train_step, cfg=CFG))(
+            state, bad, jax.random.PRNGKey(0))
+        assert float(metrics.applied) == 0.0
+        assert not np.isfinite(float(metrics.loss))
+        assert int(new_state.step) == int(state.step) + 1
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), state.params, new_state.params)
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), state.opt_state,
+            new_state.opt_state)
+
+        # a clean batch applies
+        _, metrics_ok, _ = jax.jit(functools.partial(train_step, cfg=CFG))(
+            state, batch, jax.random.PRNGKey(0))
+        assert float(metrics_ok.applied) == 1.0
+
+    def test_eval_step_prenet_dropout_rng(self, state):
+        """With an rng, eval applies prenet dropout (reference validation
+        semantics, model.py:99 + train.py:121) — different keys give
+        different losses; the same key is reproducible."""
+        batch = make_batch()
+        base, _ = eval_step(state, batch, CFG)
+        la, _ = eval_step(state, batch, CFG, rng=jax.random.PRNGKey(0))
+        lb, _ = eval_step(state, batch, CFG, rng=jax.random.PRNGKey(1))
+        la2, _ = eval_step(state, batch, CFG, rng=jax.random.PRNGKey(0))
+        assert float(la.total) == float(la2.total)
+        assert float(la.total) != float(lb.total)
+        assert float(la.total) != float(base.total)
+
+    def test_row_weighted_loss_ignores_duplicates(self, state):
+        """Cycled padding rows with weight 0 must drop out of the loss:
+        a weighted batch of [real0, real1, dup(real0)] equals the plain
+        loss over [real0, real1]."""
+        batch = make_batch(B=2)
+        dup = jax.tree.map(
+            lambda a: jnp.concatenate([a, a[:1]], axis=0), batch._replace(
+                row_valid=None))
+        dup = dup._replace(row_valid=jnp.asarray([1.0, 1.0, 0.0]))
+        l_plain, _ = eval_step(state, batch, CFG)
+        l_weighted, _ = eval_step(state, dup, CFG)
+        np.testing.assert_allclose(float(l_weighted.total),
+                                   float(l_plain.total), rtol=1e-6)
+
     def test_overfits_single_batch(self, state):
         """The end-to-end learning sanity check (stands in for the
         reference's overfit-subset practice)."""
