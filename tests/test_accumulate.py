@@ -12,6 +12,8 @@ from tacotron2_tpu.config import Tacotron2Config
 from tacotron2_tpu.training import Batch, create_train_state, train_step
 from tacotron2_tpu.training.accumulate import accum_train_step
 
+pytestmark = pytest.mark.slow  # compile-heavy (tiered suite, VERDICT r1 #6)
+
 CFG = Tacotron2Config(
     n_symbols=148, symbols_embedding_dim=16, encoder_embedding_dim=16,
     encoder_n_convolutions=2, attention_rnn_dim=20, decoder_rnn_dim=24,

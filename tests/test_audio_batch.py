@@ -85,6 +85,7 @@ class TestTargets:
         np.testing.assert_allclose(a, b, atol=2e-4)
 
 
+@pytest.mark.slow
 class TestTrainStep:
     def test_step_runs_and_learns(self, audio_batch):
         _, batch = audio_batch

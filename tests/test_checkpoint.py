@@ -3,6 +3,7 @@
 import functools
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,7 @@ def _tiny_batch(seed=0):
                  jnp.asarray(gate), jnp.asarray([8, 6]))
 
 
+@pytest.mark.slow
 def test_save_restore_roundtrip(tmp_path):
     state = create_train_state(jax.random.PRNGKey(0), CFG)
     step = jax.jit(functools.partial(train_step, cfg=CFG))
@@ -47,6 +49,7 @@ def test_save_restore_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_resume_continues_identically(tmp_path):
     """Train 3 steps; checkpoint at 2; resume and re-run step 3 -> identical
     params (deterministic resume, reference train.py:196-201)."""

@@ -59,6 +59,7 @@ def _loss_fn(cfg, training, rng):
     return loss
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("training,use_rng", [(False, False), (True, True)])
 def test_grad_parity(setup, training, use_rng):
     params, memory, memory_lengths, mels = setup
@@ -81,6 +82,7 @@ def test_grad_parity(setup, training, use_rng):
                                    err_msg=path)
 
 
+@pytest.mark.slow
 def test_grad_parity_bf16(setup):
     """bf16 compute path: the custom backward downcasts cotangents at the
     matmul boundaries where autodiff's bf16 forward puts its casts (module

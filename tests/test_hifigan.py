@@ -226,6 +226,7 @@ class TestLosses:
             float(hg.feature_matching_loss(fr, fg)), 2.0 * (1.0 + 2.0))
 
 
+@pytest.mark.slow
 class TestTrainStep:
     def test_one_step_updates_both_networks(self):
         mel_cfg = MelConfig(filter_length=16, hop_length=8, win_length=16,

@@ -61,6 +61,7 @@ def test_synthesize_griffin_lim(models):
         <= r.mel.shape[0] * CFG.hop_length
 
 
+@pytest.mark.slow
 def test_synthesize_waveglow_with_denoiser(models):
     params, stats, wg_params = models
     den = Denoiser(wg_params, WG_CFG,

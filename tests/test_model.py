@@ -50,6 +50,7 @@ class TestInit:
         assert len(params["postnet"]["convs"]) == 3
         assert params["postnet"]["convs"][-1]["conv"]["kernel"].shape == (5, 32, 20)
 
+    @pytest.mark.slow
     def test_param_count_full_size(self):
         """Full-size model must have the reference's ~28.2M parameters."""
         params, _ = m.init_params(jax.random.PRNGKey(0), Tacotron2Config())

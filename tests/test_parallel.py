@@ -82,6 +82,7 @@ class TestShardingRules:
         assert pspecs["decoder"]["projection"]["bias"] == P()
 
 
+@pytest.mark.slow
 class TestShardedTraining:
     def test_dp_step_runs_and_matches_single_device(self):
         """Data-parallel sharded step must equal the unsharded step."""

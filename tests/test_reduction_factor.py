@@ -69,6 +69,7 @@ class TestReductionFactor:
             if unmasked.all():
                 assert np.allclose(grp, grp[:, :1])
 
+    @pytest.mark.slow
     def test_training_learns(self, cfg):
         state = create_train_state(jax.random.PRNGKey(0), cfg)
         batch = make_batch(cfg)

@@ -11,6 +11,8 @@ from tacotron2_tpu.config import Tacotron2Config
 from tacotron2_tpu.data import DataPipeline, TextMelDataset
 from tacotron2_tpu.training.trainer import Trainer
 
+pytestmark = pytest.mark.slow  # compile-heavy (tiered suite, VERDICT r1 #6)
+
 CFG = Tacotron2Config(
     n_symbols=148, symbols_embedding_dim=16, encoder_embedding_dim=16,
     encoder_n_convolutions=2, attention_rnn_dim=20, decoder_rnn_dim=24,

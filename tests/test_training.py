@@ -93,6 +93,7 @@ class TestTrainStep:
     def state(self):
         return create_train_state(jax.random.PRNGKey(0), CFG)
 
+    @pytest.mark.slow
     def test_step_updates_params_and_metrics(self, state):
         batch = make_batch()
         step = jax.jit(functools.partial(train_step, cfg=CFG))
@@ -105,6 +106,7 @@ class TestTrainStep:
                             state.params, new_state.params)
         assert max(jax.tree.leaves(diff)) > 0
 
+    @pytest.mark.slow
     def test_all_params_receive_gradients(self, state):
         batch = make_batch()
 
@@ -128,6 +130,7 @@ class TestTrainStep:
         l2, _ = eval_step(state, batch, CFG)
         assert float(l1.total) == float(l2.total)
 
+    @pytest.mark.slow
     def test_nonfinite_step_skipped_on_device(self, state):
         """A NaN batch must leave params/opt-state/stats untouched (the
         bf16 analog of the reference's fp16 overflow skip, train.py:228-249)
@@ -179,6 +182,7 @@ class TestTrainStep:
         np.testing.assert_allclose(float(l_weighted.total),
                                    float(l_plain.total), rtol=1e-6)
 
+    @pytest.mark.slow
     def test_overfits_single_batch(self, state):
         """The end-to-end learning sanity check (stands in for the
         reference's overfit-subset practice)."""

@@ -114,6 +114,7 @@ class TestFlows:
                                    np.asarray(audio[:, :recovered.shape[1]]),
                                    atol=1e-3)
 
+    @pytest.mark.slow
     def test_logdet_matches_autodiff_jacobian(self):
         """For a tiny flow, log|det dz/dx| from the code must equal the
         autodiff Jacobian determinant."""
