@@ -124,6 +124,17 @@ class Tacotron2Config:
     # vs plain autodiff is pinned by tests/test_decoder_vjp.py. Set False
     # to fall back to the XLA-autodiff scan.
     custom_vjp_decoder: bool = True
+    # Interleave the teacher-forced decoder scan over N independent
+    # sub-batch chains per scan step (custom-VJP path only). Each step
+    # computes step t of all N chains; their dependency chains are
+    # independent, so XLA can overlap one chain's elementwise/VPU phase
+    # with another's MXU matmuls — the per-step critical path of a single
+    # chain leaves the MXU idle during the LSTM activations and attention
+    # softmax (PERFORMANCE.md). Dropout masks are drawn at full batch
+    # width and sliced per chain, and a (B,K)@(K,N) matmul split into
+    # row chunks is bitwise-identical per row, so any N gives EXACTLY the
+    # same numbers as N=1. batch_size must be divisible by N. 1 = off.
+    decoder_interleave: int = 1
     # Checkpoint policy name (jax.checkpoint_policies.*) for the decoder
     # scan step, e.g. "dots_saveable": save only matmul outputs, recompute
     # elementwise ops in the backward — less residual HBM traffic than

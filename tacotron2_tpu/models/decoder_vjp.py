@@ -50,7 +50,6 @@ import jax
 import jax.numpy as jnp
 
 from tacotron2_tpu.config import Tacotron2Config
-from tacotron2_tpu.ops.layers import dropout
 from tacotron2_tpu.ops.lstm import lstm_apply_gates, lstm_gates
 
 _FLOAT0 = jax.dtypes.float0
@@ -112,13 +111,6 @@ def _lstm_gates_bwd(gates: jnp.ndarray, c_prev: jnp.ndarray,
     return dgates, dc_prev
 
 
-def _dropout_bwd(key: jax.Array, rate: float, d: jnp.ndarray) -> jnp.ndarray:
-    """VJP of ops.layers.dropout: regenerate the keep mask from the same
-    key (deterministic) and scale the cotangent."""
-    keep = jax.random.bernoulli(key, 1.0 - rate, d.shape)
-    return jnp.where(keep, d / (1.0 - rate), jnp.zeros_like(d))
-
-
 def core_scan(dp_core, prenet_steps, memory, processed, mask, scan_rng,
               cfg: Tacotron2Config, training: bool,
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -148,7 +140,16 @@ def core_scan(dp_core, prenet_steps, memory, processed, mask, scan_rng,
 
 
 def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
-    """Build the custom-VJP scan for a static (cfg, dropout_active)."""
+    """Build the custom-VJP scan for a static (cfg, dropout_active).
+
+    ``cfg.decoder_interleave`` = N splits the batch into N independent
+    sub-chains processed inside ONE scan step (forward and backward): a
+    single chain's per-step critical path leaves the MXU idle during the
+    LSTM activations/attention softmax, and N independent chains give the
+    scheduler matmuls to run in those gaps. Dropout masks are drawn at
+    full batch width and row-sliced per chain, and splitting a matmul's
+    row dimension is bitwise-identical per row, so results match N=1
+    exactly (tests/test_decoder_vjp.py::test_interleave_*)."""
     from tacotron2_tpu.models.tacotron2 import (  # deferred: no cycle
         DecoderState, _attention, _attention_weights, init_decoder_state,
     )
@@ -157,69 +158,124 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
     sdt = _storage_dtype(compute_dtype)
     unroll = cfg.decoder_scan_unroll
     p_att, p_dec = cfg.p_attention_dropout, cfg.p_decoder_dropout
+    n_il = max(1, cfg.decoder_interleave)
+
+    def _chunk_slices(B: int):
+        if B % n_il:
+            raise ValueError(f"batch {B} not divisible by "
+                             f"decoder_interleave={n_il}")
+        Bc = B // n_il
+        return [slice(i * Bc, (i + 1) * Bc) for i in range(n_il)]
+
+    def _step_keep_masks(scan_rng, t, B, A, D):
+        """Full-batch dropout keep masks for step t — drawn exactly like
+        ops.layers.dropout would for the full batch, then row-sliced per
+        chain, so any interleave factor sees the same masks."""
+        key_t = jax.random.fold_in(scan_rng, t)
+        keep_att = (jax.random.bernoulli(jax.random.fold_in(key_t, 0),
+                                         1.0 - p_att, (B, A))
+                    if p_att > 0.0 else None)
+        keep_dec = (jax.random.bernoulli(jax.random.fold_in(key_t, 1),
+                                         1.0 - p_dec, (B, D))
+                    if p_dec > 0.0 else None)
+        return keep_att, keep_dec
 
     # ------------------------------------------------------------ forward
     def _forward(dp, prenet_steps, memory, processed, mask, scan_rng):
-        state = init_decoder_state(memory, cfg)
-        T = prenet_steps.shape[0]
+        T, B, _ = prenet_steps.shape
+        A = dp["attention_rnn"]["wh"].shape[0]
+        D = dp["decoder_rnn"]["wh"].shape[0]
+        sls = _chunk_slices(B)
+        mem_c = [memory[s] for s in sls]
+        proc_c = [processed[s] for s in sls]
+        mask_c = [None if mask is None else mask[s] for s in sls]
+        states = tuple(init_decoder_state(memory[s], cfg) for s in sls)
 
-        def step(s: DecoderState, xs):
-            t, prenet_t = xs
+        def chunk_step(s: DecoderState, prenet_t, mem, proc, msk,
+                       keep_att, keep_dec):
             xa = jnp.concatenate([prenet_t, s.att_context], axis=-1)
             ga = lstm_gates(dp["attention_rnn"], xa, s.att_h, compute_dtype)
             att_h, att_c = lstm_apply_gates(ga, s.att_c)
-            if dropout_active:
-                key_t = jax.random.fold_in(scan_rng, t)
-                att_h = dropout(jax.random.fold_in(key_t, 0), att_h, p_att)
-            ctx, w = _attention(dp["attention"], att_h, memory, processed,
-                                s.att_weights, s.att_weights_cum, mask,
+            if keep_att is not None:
+                att_h = jnp.where(keep_att, att_h / (1.0 - p_att),
+                                  jnp.zeros_like(att_h))
+            ctx, w = _attention(dp["attention"], att_h, mem, proc,
+                                s.att_weights, s.att_weights_cum, msk,
                                 compute_dtype)
             wcum = s.att_weights_cum + w
             xd = jnp.concatenate([att_h, ctx], axis=-1)
             gd = lstm_gates(dp["decoder_rnn"], xd, s.dec_h, compute_dtype)
             dec_h, dec_c = lstm_apply_gates(gd, s.dec_c)
-            if dropout_active:
-                dec_h = dropout(jax.random.fold_in(key_t, 1), dec_h, p_dec)
+            if keep_dec is not None:
+                dec_h = jnp.where(keep_dec, dec_h / (1.0 - p_dec),
+                                  jnp.zeros_like(dec_h))
             new_s = DecoderState(att_h, att_c, dec_h, dec_c, w, wcum, ctx)
             emit = _Residuals(ga.astype(sdt), gd.astype(sdt),
                               att_h.astype(sdt), dec_h.astype(sdt),
                               att_c, dec_c, ctx.astype(jnp.float32), w)
             return new_s, emit
 
+        def step(ss, xs):
+            t, prenet_t = xs
+            keep_att = keep_dec = None
+            if dropout_active:
+                keep_att, keep_dec = _step_keep_masks(scan_rng, t, B, A, D)
+            new_ss, emits = [], []
+            for i, s in enumerate(sls):
+                ns, em = chunk_step(
+                    ss[i], prenet_t[s], mem_c[i], proc_c[i], mask_c[i],
+                    None if keep_att is None else keep_att[s],
+                    None if keep_dec is None else keep_dec[s])
+                new_ss.append(ns)
+                emits.append(em)
+            return tuple(new_ss), tuple(emits)
+
         xs = (jnp.arange(T), prenet_steps)
-        _, res = jax.lax.scan(step, state, xs, unroll=unroll)
-        return (res.dec_h, res.ctx, res.w), res
+        _, res_chunks = jax.lax.scan(step, states, xs, unroll=unroll)
+        return res_chunks
+
+    def _cat(parts, axis=1):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis)
 
     @jax.custom_vjp
     def scan_fn(dp, prenet_steps, memory, processed, mask, scan_rng):
-        out, _ = _forward(dp, prenet_steps, memory, processed, mask,
-                          scan_rng)
-        return out
+        res_chunks = _forward(dp, prenet_steps, memory, processed, mask,
+                              scan_rng)
+        return (_cat([r.dec_h for r in res_chunks]),
+                _cat([r.ctx for r in res_chunks]),
+                _cat([r.w for r in res_chunks]))
 
     def fwd(dp, prenet_steps, memory, processed, mask, scan_rng):
-        out, res = _forward(dp, prenet_steps, memory, processed, mask,
-                            scan_rng)
-        saved = (dp, prenet_steps, memory, processed, mask, scan_rng, res)
+        res_chunks = _forward(dp, prenet_steps, memory, processed, mask,
+                              scan_rng)
+        out = (_cat([r.dec_h for r in res_chunks]),
+               _cat([r.ctx for r in res_chunks]),
+               _cat([r.w for r in res_chunks]))
+        saved = (dp, prenet_steps, memory, processed, mask, scan_rng,
+                 res_chunks)
         return out, saved
 
     # ----------------------------------------------------------- backward
     def bwd(saved, cotangents):
-        dp, prenet_steps, memory, processed, mask, scan_rng, res = saved
+        (dp, prenet_steps, memory, processed, mask, scan_rng,
+         res_chunks) = saved
         d_dec_h_out, d_ctx_out, d_align_out = cotangents
-        T, B, _ = prenet_steps.shape
+        T, B, P = prenet_steps.shape
         T_in = memory.shape[1]
         A = dp["attention_rnn"]["wh"].shape[0]
         D = dp["decoder_rnn"]["wh"].shape[0]
         E = memory.shape[2]
         f32 = jnp.float32
         attp = dp["attention"]
+        sls = _chunk_slices(B)
+        Bc = B // n_il
 
-        # shifted (value at t-1) views of the saved stacks
-        att_c_prev = _shift(res.att_c)
-        dec_c_prev = _shift(res.dec_c)
-        w_prev = _shift(res.w)
-        wcum_prev = jnp.cumsum(res.w, axis=0) - res.w  # exclusive prefix sum
-        ctx_prev = _shift(res.ctx)
+        # per-chunk shifted (value at t-1) views of the saved stacks
+        def chunk_shifts(res):
+            return (_shift(res.att_c), _shift(res.dec_c), _shift(res.w),
+                    jnp.cumsum(res.w, axis=0) - res.w,  # exclusive prefix
+                    _shift(res.ctx))
+        shifts = [chunk_shifts(r) for r in res_chunks]
 
         # The context bmm (ctx = sum_i w_i mem_i) is differentiated by
         # hand so `memory` never enters the per-step VJP: its per-step
@@ -229,35 +285,42 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
         # ONE post-scan einsum over the saved attention weights and the
         # stacked context cotangents. The energies+softmax block (whose
         # weight/processed-memory grads are small) stays autodiff-exact.
-        def attn_weights_fn(att_p, att_h, w_p, wc_p, proc):
-            # the forward's masked softmax, verbatim — shared helper so the
-            # rematerialized backward can never diverge from _attention
-            return _attention_weights(att_p, att_h, proc, w_p, wc_p, mask,
-                                      compute_dtype)
+        def make_attn_weights_fn(msk):
+            def attn_weights_fn(att_p, att_h, w_p, wc_p, proc):
+                # the forward's masked softmax, verbatim — shared helper so
+                # the rematerialized backward can't diverge from _attention
+                return _attention_weights(att_p, att_h, proc, w_p, wc_p,
+                                          msk, compute_dtype)
+            return attn_weights_fn
 
         zero_attp = jax.tree.map(lambda x: jnp.zeros_like(x), attp)
-        mem_c = (memory.astype(compute_dtype) if compute_dtype is not None
-                 else memory.astype(f32))
+        mem_cd = (memory.astype(compute_dtype) if compute_dtype is not None
+                  else memory.astype(f32))
+        mem_chunks = [mem_cd[s] for s in sls]
+        proc_chunks = [processed[s] for s in sls]
+        mask_chunks = [None if mask is None else mask[s] for s in sls]
 
-        def step(carry, xs):
+        wi_d = dp["decoder_rnn"]["wi"].astype(sdt)
+        wh_d = dp["decoder_rnn"]["wh"].astype(sdt)
+        wi_a = dp["attention_rnn"]["wi"].astype(sdt)
+        wh_a = dp["attention_rnn"]["wh"].astype(sdt)
+
+        def chunk_bwd_step(carry, xs_c, mem_c, proc_c, msk,
+                           keep_att, keep_dec):
             (d_att_h, d_att_c, d_dec_h, d_dec_c, d_w, d_wcum, d_ctx,
              d_proc_acc, d_attp_acc) = carry
-            (t, ga_t, gd_t, att_h_t, att_c_t, att_c_p, dec_c_t, dec_c_p,
-             w_t, w_p, wc_p, d_dec_h_out_t, d_ctx_out_t, d_align_t) = xs
-
-            if dropout_active:
-                key_t = jax.random.fold_in(scan_rng, t)
+            (ga_t, gd_t, att_h_t, att_c_t, att_c_p, dec_c_t, dec_c_p,
+             w_t, w_p, wc_p, d_dec_h_out_t, d_ctx_out_t, d_align_t) = xs_c
 
             # decoder LSTM (output dropout, then gates)
             d_dec_h_total = d_dec_h + d_dec_h_out_t.astype(f32)
-            if dropout_active:
-                d_dec_h_total = _dropout_bwd(jax.random.fold_in(key_t, 1),
-                                             p_dec, d_dec_h_total)
+            if keep_dec is not None:
+                d_dec_h_total = jnp.where(
+                    keep_dec, d_dec_h_total / (1.0 - p_dec),
+                    jnp.zeros_like(d_dec_h_total))
             dgd, d_dec_c_prev = _lstm_gates_bwd(gd_t, dec_c_p, dec_c_t,
                                                 d_dec_h_total, d_dec_c)
             dgd_c = dgd.astype(sdt)
-            wi_d = dp["decoder_rnn"]["wi"].astype(sdt)
-            wh_d = dp["decoder_rnn"]["wh"].astype(sdt)
             dxd = jnp.dot(dgd_c, wi_d.T, preferred_element_type=f32)
             d_dec_h_prev = jnp.dot(dgd_c, wh_d.T, preferred_element_type=f32)
             d_att_h_from_xd = dxd[:, :A]
@@ -271,25 +334,23 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
             # energies + softmax backward, autodiff-exact
             d_w_total = (d_w + d_wcum + d_align_t.astype(f32)
                          + d_w_from_ctx.astype(f32))
-            _, attn_vjp = jax.vjp(attn_weights_fn, attp, att_h_t, w_p,
-                                  wc_p, processed)
+            _, attn_vjp = jax.vjp(make_attn_weights_fn(msk), attp, att_h_t,
+                                  w_p, wc_p, proc_c)
             (d_attp, d_att_h_from_attn, d_w_prev, d_wcum_prev,
              d_proc) = attn_vjp(d_w_total)
 
             # attention LSTM
             d_att_h_total = (d_att_h + d_att_h_from_xd
                              + d_att_h_from_attn.astype(f32))
-            if dropout_active:
-                d_att_h_total = _dropout_bwd(jax.random.fold_in(key_t, 0),
-                                             p_att, d_att_h_total)
+            if keep_att is not None:
+                d_att_h_total = jnp.where(
+                    keep_att, d_att_h_total / (1.0 - p_att),
+                    jnp.zeros_like(d_att_h_total))
             dga, d_att_c_prev = _lstm_gates_bwd(ga_t, att_c_p, att_c_t,
                                                 d_att_h_total, d_att_c)
             dga_c = dga.astype(sdt)
-            wi_a = dp["attention_rnn"]["wi"].astype(sdt)
-            wh_a = dp["attention_rnn"]["wh"].astype(sdt)
             dxa = jnp.dot(dga_c, wi_a.T, preferred_element_type=f32)
             d_att_h_prev = jnp.dot(dga_c, wh_a.T, preferred_element_type=f32)
-            P = prenet_steps.shape[-1]
             d_prenet_t = dxa[:, :P]
             d_ctx_prev = dxa[:, P:]
 
@@ -307,57 +368,101 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
             return new_carry, (dga_c, dgd_c, d_prenet_t,
                                d_ctx_total.astype(sdt))
 
-        carry0 = (
-            jnp.zeros((B, A), f32), jnp.zeros((B, A), f32),
-            jnp.zeros((B, D), f32), jnp.zeros((B, D), f32),
-            jnp.zeros((B, T_in), f32), jnp.zeros((B, T_in), f32),
-            jnp.zeros((B, E), f32),
-            jnp.zeros((B, T_in, processed.shape[-1]), f32),
-            zero_attp,
-        )
-        xs = (jnp.arange(T), res.ga, res.gd, res.att_h, res.att_c,
-              att_c_prev, res.dec_c, dec_c_prev, res.w, w_prev, wcum_prev,
-              d_dec_h_out, d_ctx_out, d_align_out)
-        carry, (dga_stack, dgd_stack, d_prenet, dctx_stack) = jax.lax.scan(
-            step, carry0, xs, reverse=True, unroll=unroll)
-        (_, _, _, _, _, _, _, d_proc_acc, d_attp_acc) = carry
+        def step(carries, xs):
+            t, xs_chunks, cot_chunks = xs
+            keep_att = keep_dec = None
+            if dropout_active:
+                keep_att, keep_dec = _step_keep_masks(scan_rng, t, B, A, D)
+            new_carries, emits = [], []
+            for i, s in enumerate(sls):
+                new_c, em = chunk_bwd_step(
+                    carries[i], xs_chunks[i] + cot_chunks[i],
+                    mem_chunks[i], proc_chunks[i], mask_chunks[i],
+                    None if keep_att is None else keep_att[s],
+                    None if keep_dec is None else keep_dec[s])
+                new_carries.append(new_c)
+                emits.append(em)
+            return tuple(new_carries), tuple(emits)
 
-        # hoisted memory gradient: ctx_t = sum_i w_ti mem_ie is linear, so
-        # d_mem = sum_t w_t (x) d_ctx_t — one batched matmul (contraction T)
-        # instead of a 33 MB accumulator riding the reverse scan. Inputs in
-        # the storage dtype, fp32 accumulation (like the dW einsums below).
-        d_mem_acc = jnp.einsum("tbi,tbe->bie", res.w.astype(sdt), dctx_stack,
-                               preferred_element_type=f32)
+        def chunk_carry0():
+            return (
+                jnp.zeros((Bc, A), f32), jnp.zeros((Bc, A), f32),
+                jnp.zeros((Bc, D), f32), jnp.zeros((Bc, D), f32),
+                jnp.zeros((Bc, T_in), f32), jnp.zeros((Bc, T_in), f32),
+                jnp.zeros((Bc, E), f32),
+                jnp.zeros((Bc, T_in, processed.shape[-1]), f32),
+                zero_attp,
+            )
 
-        # hoisted weight gradients: one big matmul each, contraction T*B
-        att_h_prev = _shift(res.att_h)
-        dec_h_prev = _shift(res.dec_h)
-        xa_stack = jnp.concatenate(
-            [prenet_steps.astype(sdt), ctx_prev.astype(sdt)], axis=-1)
-        dWi_a = jnp.einsum("tbi,tbg->ig", xa_stack, dga_stack,
-                           preferred_element_type=f32).astype(f32)
-        dWh_a = jnp.einsum("tbh,tbg->hg", att_h_prev.astype(sdt), dga_stack,
-                           preferred_element_type=f32).astype(f32)
-        db_a = jnp.sum(dga_stack.astype(f32), axis=(0, 1))
+        xs_chunks = tuple(
+            (r.ga, r.gd, r.att_h, r.att_c, sh[0], r.dec_c, sh[1],
+             r.w, sh[2], sh[3])
+            for r, sh in zip(res_chunks, shifts))
+        cot_chunks = tuple(
+            (d_dec_h_out[:, s], d_ctx_out[:, s], d_align_out[:, s])
+            for s in sls)
+        carries, emits = jax.lax.scan(
+            step, tuple(chunk_carry0() for _ in sls),
+            (jnp.arange(T), xs_chunks, cot_chunks),
+            reverse=True, unroll=unroll)
 
-        xd_stack = jnp.concatenate(
-            [res.att_h.astype(sdt), res.ctx.astype(sdt)], axis=-1)
-        dWi_d = jnp.einsum("tbi,tbg->ig", xd_stack, dgd_stack,
-                           preferred_element_type=f32).astype(f32)
-        dWh_d = jnp.einsum("tbh,tbg->hg", dec_h_prev, dgd_stack,
-                           preferred_element_type=f32).astype(f32)
-        db_d = jnp.sum(dgd_stack.astype(f32), axis=(0, 1))
+        # hoisted gradients, accumulated over chunks:
+        # - d_mem: ctx_t = sum_i w_ti mem_ie is linear, so d_mem =
+        #   sum_t w_t (x) d_ctx_t — one batched matmul (contraction T) per
+        #   chunk instead of a 33 MB accumulator riding the reverse scan.
+        # - each LSTM weight gradient is one big matmul per chunk with
+        #   contraction T*Bc, summed over chunks. Inputs in the storage
+        #   dtype, fp32 accumulation.
+        dWi_a = dWh_a = db_a = dWi_d = dWh_d = db_d = None
+        d_mem_parts, d_prenet_parts, d_proc_parts, d_attp_parts = \
+            [], [], [], []
+        add = lambda acc, x: x if acc is None else acc + x
+        for i, (res, sh, carry, emit) in enumerate(
+                zip(res_chunks, shifts, carries, emits)):
+            dga_stack, dgd_stack, d_prenet_c, dctx_stack = emit
+            ctx_prev = sh[4]
+            d_mem_parts.append(jnp.einsum(
+                "tbi,tbe->bie", res.w.astype(sdt), dctx_stack,
+                preferred_element_type=f32))
+            xa_stack = jnp.concatenate(
+                [prenet_steps[:, sls[i]].astype(sdt),
+                 ctx_prev.astype(sdt)], axis=-1)
+            dWi_a = add(dWi_a, jnp.einsum(
+                "tbi,tbg->ig", xa_stack, dga_stack,
+                preferred_element_type=f32))
+            dWh_a = add(dWh_a, jnp.einsum(
+                "tbh,tbg->hg", _shift(res.att_h).astype(sdt), dga_stack,
+                preferred_element_type=f32))
+            db_a = add(db_a, jnp.sum(dga_stack.astype(f32), axis=(0, 1)))
+            xd_stack = jnp.concatenate(
+                [res.att_h.astype(sdt), res.ctx.astype(sdt)], axis=-1)
+            dWi_d = add(dWi_d, jnp.einsum(
+                "tbi,tbg->ig", xd_stack, dgd_stack,
+                preferred_element_type=f32))
+            dWh_d = add(dWh_d, jnp.einsum(
+                "tbh,tbg->hg", _shift(res.dec_h).astype(sdt), dgd_stack,
+                preferred_element_type=f32))
+            db_d = add(db_d, jnp.sum(dgd_stack.astype(f32), axis=(0, 1)))
+            d_prenet_parts.append(d_prenet_c)
+            d_proc_parts.append(carry[7])
+            d_attp_parts.append(carry[8])
+
+        d_attp_acc = d_attp_parts[0]
+        for part in d_attp_parts[1:]:
+            d_attp_acc = jax.tree.map(jnp.add, d_attp_acc, part)
 
         d_dp = {
-            "attention_rnn": {"wi": dWi_a, "wh": dWh_a,
+            "attention_rnn": {"wi": dWi_a.astype(f32),
+                              "wh": dWh_a.astype(f32),
                               "bi": db_a, "bh": db_a},
             "attention": d_attp_acc,
-            "decoder_rnn": {"wi": dWi_d, "wh": dWh_d,
+            "decoder_rnn": {"wi": dWi_d.astype(f32),
+                            "wh": dWh_d.astype(f32),
                             "bi": db_d, "bh": db_d},
         }
-        d_memory = d_mem_acc.astype(memory.dtype)
-        d_processed = d_proc_acc.astype(processed.dtype)
-        d_prenet = d_prenet.astype(prenet_steps.dtype)
+        d_memory = _cat(d_mem_parts, axis=0).astype(memory.dtype)
+        d_processed = _cat(d_proc_parts, axis=0).astype(processed.dtype)
+        d_prenet = _cat(d_prenet_parts, axis=1).astype(prenet_steps.dtype)
         d_mask = np.zeros(mask.shape, dtype=_FLOAT0)
         d_rng = np.zeros(scan_rng.shape, dtype=_FLOAT0)
         return (d_dp, d_prenet, d_memory, d_processed, d_mask, d_rng)

@@ -83,6 +83,51 @@ def test_grad_parity(setup, training, use_rng):
 
 
 @pytest.mark.slow
+def test_interleave_forward_exact(setup):
+    """decoder_interleave=2 must match interleave=1 BITWISE: dropout masks
+    are drawn at full batch width and sliced, and row-splitting a matmul
+    changes nothing per row."""
+    params, memory, memory_lengths, mels = setup
+    rng = jax.random.PRNGKey(7)
+    ref = _decode(params, memory, memory_lengths, mels, CFG_VJP, True, rng)
+    got = _decode(params, memory, memory_lengths, mels,
+                  CFG_VJP.replace(decoder_interleave=2), True, rng)
+    for r, g, name in zip(ref, got, ["mel", "gate", "align"]):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r),
+                                      err_msg=name)
+
+
+def test_interleave_grad_parity(setup):
+    """Gradients through the interleaved backward match interleave=1."""
+    params, memory, memory_lengths, mels = setup
+    rng = jax.random.PRNGKey(3)
+    cfg_il = CFG_VJP.replace(decoder_interleave=2)
+    g_ref = jax.grad(_loss_fn(CFG_VJP, True, rng), argnums=(0, 1, 2))(
+        params, memory, mels, memory_lengths)
+    g_new = jax.grad(_loss_fn(cfg_il, True, rng), argnums=(0, 1, 2))(
+        params, memory, mels, memory_lengths)
+    flat_ref, tree_ref = jax.tree.flatten(g_ref)
+    flat_new, tree_new = jax.tree.flatten(g_new)
+    assert tree_ref == tree_new
+    paths = [jax.tree_util.keystr(p)
+             for p, _ in jax.tree_util.tree_flatten_with_path(g_ref)[0]]
+    for path, a, b in zip(paths, flat_ref, flat_new):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-3)
+        # dW accumulates per chunk then sums (one extra fp32 add) — exact
+        # up to that reassociation
+        np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-6 * scale,
+                                   err_msg=path)
+
+
+def test_interleave_rejects_indivisible_batch(setup):
+    params, memory, memory_lengths, mels = setup
+    with pytest.raises(ValueError, match="divisible"):
+        _decode(params, memory, memory_lengths, mels,
+                CFG_VJP.replace(decoder_interleave=3), False, None)
+
+
+@pytest.mark.slow
 def test_grad_parity_bf16(setup):
     """bf16 compute path: the custom backward downcasts cotangents at the
     matmul boundaries where autodiff's bf16 forward puts its casts (module
