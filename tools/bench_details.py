@@ -149,6 +149,29 @@ def bench_infer_fused(T_in=128, steps=448, chunk=64):
           f"{dt / steps * 1e6:.1f} us/frame)", flush=True)
 
 
+def bench_fused_vs_xla_b8():
+    """Explicit serving-tradeoff row (VERDICT r1 #9): 8 concurrent
+    utterances served either as ONE XLA B=8 batch (throughput-optimal —
+    the batch amortizes the ~36 MB/step decoder weight stream) or as 8
+    sequential fused-B=1 Pallas decodes (latency-optimal per stream —
+    zero per-step weight traffic, but the VMEM-resident kernel serves one
+    row at a time). Records both plus the ratio, so the choice of serving
+    mode is a measured row: use the fused kernel for single-stream
+    latency, the XLA batch for aggregate throughput at B>=8."""
+    bench_infer(B=8)
+    bench_infer_fused()
+    b8 = RESULTS["infer_b8_frames_per_s"]          # 8 rows in parallel
+    fused1 = RESULTS["infer_b1_fused_frames_per_s"]  # one row at a time
+    RESULTS["b8_xla_vs_fused_seq_throughput"] = round(b8 / fused1, 2)
+    RESULTS["b8_fused_vs_xla_latency"] = round(
+        RESULTS["infer_b8_rtf"] * 8 / RESULTS["infer_b1_fused_rtf"], 2)
+    print(f"fused_vs_xla_b8: XLA B=8 {b8:,.0f} frames/s total vs fused "
+          f"B=1 {fused1:,.0f} frames/s/stream -> XLA batch serves "
+          f"{b8 / fused1:.2f}x the aggregate throughput; fused B=1 is "
+          f"{RESULTS['b8_fused_vs_xla_latency']:.2f}x lower per-utterance "
+          f"latency", flush=True)
+
+
 def bench_vocoder(B=1, T_mel=400):
     cfg = waveglow.WaveGlowConfig()
     params = waveglow.init_params(jax.random.PRNGKey(0), cfg)
@@ -199,7 +222,8 @@ if __name__ == "__main__":
     import argparse
     parser = argparse.ArgumentParser()
     known = {"train_bf16", "train_fp32", "infer1", "infer8", "infer1_int8",
-             "infer8_int8", "infer1_fused", "vocoder", "hifigan"}
+             "infer8_int8", "infer1_fused", "fused_vs_xla_b8", "vocoder",
+             "hifigan"}
     parser.add_argument("stages", nargs="*", default=[],
                         help=f"subset of: {' '.join(sorted(known))} "
                              "(default: all)")
@@ -223,6 +247,8 @@ if __name__ == "__main__":
         bench_infer(B=8, quantized=True); _save()
     if "infer1_fused" in stages:
         bench_infer_fused(); _save()
+    if "fused_vs_xla_b8" in stages:
+        bench_fused_vs_xla_b8(); _save()
     if "vocoder" in stages:
         bench_vocoder(B=1, T_mel=400); _save()
         bench_vocoder(B=8, T_mel=400); _save()
