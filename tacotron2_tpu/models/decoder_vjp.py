@@ -300,10 +300,22 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
         proc_chunks = [processed[s] for s in sls]
         mask_chunks = [None if mask is None else mask[s] for s in sls]
 
-        wi_d = dp["decoder_rnn"]["wi"].astype(sdt)
-        wh_d = dp["decoder_rnn"]["wh"].astype(sdt)
-        wi_a = dp["attention_rnn"]["wi"].astype(sdt)
-        wh_a = dp["attention_rnn"]["wh"].astype(sdt)
+        # Each LSTM's two data-gradient dots (dg @ wi.T and dg @ wh.T)
+        # share their left operand, so they fuse into ONE matmul along the
+        # output dimension: the weight concat+transpose is loop-invariant
+        # (hoisted out of the scan) and slicing the output columns back
+        # apart is free — one MXU launch per cell per step instead of two,
+        # bitwise-identical columns. (The analogous forward fusion was
+        # measured SLOWER because it needs a runtime [x,h] concat each
+        # step, PERFORMANCE.md; here the concat is static.)
+        wT_d = jnp.concatenate([dp["decoder_rnn"]["wi"],
+                                dp["decoder_rnn"]["wh"]],
+                               axis=0).astype(sdt).T  # (4D, in_d + D)
+        wT_a = jnp.concatenate([dp["attention_rnn"]["wi"],
+                                dp["attention_rnn"]["wh"]],
+                               axis=0).astype(sdt).T  # (4A, in_a + A)
+        in_d = dp["decoder_rnn"]["wi"].shape[0]   # A + E
+        in_a = dp["attention_rnn"]["wi"].shape[0]  # P + E
 
         def chunk_bwd_step(carry, xs_c, mem_c, proc_c, msk,
                            keep_att, keep_dec):
@@ -321,8 +333,8 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
             dgd, d_dec_c_prev = _lstm_gates_bwd(gd_t, dec_c_p, dec_c_t,
                                                 d_dec_h_total, d_dec_c)
             dgd_c = dgd.astype(sdt)
-            dxd = jnp.dot(dgd_c, wi_d.T, preferred_element_type=f32)
-            d_dec_h_prev = jnp.dot(dgd_c, wh_d.T, preferred_element_type=f32)
+            dxd_full = jnp.dot(dgd_c, wT_d, preferred_element_type=f32)
+            dxd, d_dec_h_prev = dxd_full[:, :in_d], dxd_full[:, in_d:]
             d_att_h_from_xd = dxd[:, :A]
             d_ctx_total = d_ctx + d_ctx_out_t.astype(f32) + dxd[:, A:]
 
@@ -349,8 +361,8 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
             dga, d_att_c_prev = _lstm_gates_bwd(ga_t, att_c_p, att_c_t,
                                                 d_att_h_total, d_att_c)
             dga_c = dga.astype(sdt)
-            dxa = jnp.dot(dga_c, wi_a.T, preferred_element_type=f32)
-            d_att_h_prev = jnp.dot(dga_c, wh_a.T, preferred_element_type=f32)
+            dxa_full = jnp.dot(dga_c, wT_a, preferred_element_type=f32)
+            dxa, d_att_h_prev = dxa_full[:, :in_a], dxa_full[:, in_a:]
             d_prenet_t = dxa[:, :P]
             d_ctx_prev = dxa[:, P:]
 
