@@ -105,9 +105,16 @@ class DataPipeline:
         return sum(1 for _ in sampler.batches(np.random.RandomState(0)))
 
 
-def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+def prefetch(iterator: Iterator, depth: int = 2,
+             transfer=None) -> Iterator:
     """Run ``iterator`` in a background thread, keeping ``depth`` items
-    ready — overlaps host batch assembly with device compute."""
+    ready — overlaps host batch assembly with device compute.
+
+    ``transfer``: optional callable applied to each item in the PRODUCER
+    thread, e.g. ``lambda b: jax.device_put(b, sharding)`` — starts the
+    host->device copy of batch N+1 while the device runs batch N, so the
+    jitted step never waits on H2D (the reference's ``to_gpu`` with
+    non_blocking=True, utils.py:24-29, done one batch ahead)."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
     error: List[BaseException] = []
@@ -115,7 +122,7 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     def producer():
         try:
             for item in iterator:
-                q.put(item)
+                q.put(item if transfer is None else transfer(item))
         except BaseException as e:  # propagate worker failures to consumer
             error.append(e)
         finally:

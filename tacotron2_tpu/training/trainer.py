@@ -9,6 +9,7 @@ sharded train step (per bucket shape), host prefetch, async checkpoints.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Optional
 
@@ -19,8 +20,8 @@ import jax
 from tacotron2_tpu.config import Tacotron2Config
 from tacotron2_tpu.data import DataPipeline, prefetch
 from tacotron2_tpu.parallel import (
-    create_mesh, create_sharded_state, initialize_distributed, make_eval_step,
-    make_train_step, shard_tree,
+    batch_sharding, create_mesh, create_sharded_state,
+    initialize_distributed, make_eval_step, make_train_step, shard_tree,
 )
 from tacotron2_tpu.training.checkpoint import Checkpointer, warm_start
 from tacotron2_tpu.training.logging import MetricLogger
@@ -91,12 +92,18 @@ class Trainer:
                        if steps_per_epoch else 0)
         frames_per_audio_sec = cfg.sampling_rate / cfg.hop_length
 
+        # H2D transfer of batch N+1 runs in the prefetch thread while the
+        # device executes batch N (reference's non_blocking to_gpu,
+        # utils.py:24-29, moved one batch ahead).
+        transfer = functools.partial(jax.device_put,
+                                     device=batch_sharding(self.mesh))
         for epoch in range(start_epoch, epochs):
             if jax.process_index() == 0:
                 print(f"Epoch {epoch}")
             interval_t0 = time.perf_counter()
             interval_steps = interval_frames = 0
-            for batch in prefetch(train_pipeline.epoch(epoch), depth=2):
+            for batch in prefetch(train_pipeline.epoch(epoch), depth=2,
+                                  transfer=transfer):
                 if lr_schedule is not None:
                     self.set_learning_rate(lr_schedule(step))
                 # The step's metrics stay on-device: non-finite updates are
