@@ -1,9 +1,15 @@
-"""Torch checkpoint converter.
+"""Torch checkpoint converters (both directions).
 
-One-way converter from the reference's ``tacotron2_statedict.pt`` format
-(torch ``state_dict`` saved by /root/reference/train.py:112-118) to this
-framework's (params, stats) pytrees, enabling the mel-allclose fidelity
-gate against the published checkpoint (BASELINE.md config 1).
+``convert_state_dict``/``load_torch_checkpoint``: the reference's
+``tacotron2_statedict.pt`` format (torch ``state_dict`` saved by
+/root/reference/train.py:112-118) -> this framework's (params, stats)
+pytrees, enabling the mel-allclose fidelity gate against the published
+checkpoint (BASELINE.md config 1).
+
+``export_state_dict``/``save_torch_checkpoint``: the exact inverse —
+models trained here export to the reference's checkpoint format, so a
+reference user can move in either direction (round-trip and torch-oracle
+load tests in tests/test_convert.py).
 
 Layout differences handled here:
 - torch Linear weight (out, in)  -> dense kernel (in, out)        [transpose]
@@ -117,6 +123,85 @@ def convert_state_dict(sd: Dict, cfg: Tacotron2Config) -> Tuple[Dict, Dict]:
     stats = {"encoder": {"convs": enc_bn_stats},
              "postnet": {"convs": post_bn_stats}}
     return params, stats
+
+
+def export_state_dict(params: Dict, stats: Dict, cfg: Tacotron2Config,
+                      ) -> Dict[str, np.ndarray]:
+    """(params, stats) pytrees -> reference torch state_dict (numpy values).
+
+    Exact inverse of ``convert_state_dict`` (same key names and layouts as
+    /root/reference/model.py:457-471), so a model trained here loads into
+    the reference implementation with ``load_state_dict(strict=True)``
+    (modulo ``num_batches_tracked``, which torch tolerates as missing only
+    with strict=False — we emit it as 0 for strict loads)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def dense(prefix, p, bias=True):
+        out[f"{prefix}.weight"] = _t(p["kernel"]).T
+        if bias:
+            out[f"{prefix}.bias"] = _t(p["bias"])
+
+    def conv(prefix, p, bias=True):
+        out[f"{prefix}.weight"] = _t(p["kernel"]).transpose(2, 1, 0)
+        if bias:
+            out[f"{prefix}.bias"] = _t(p["bias"])
+
+    def bn(prefix, p, s):
+        out[f"{prefix}.weight"] = _t(p["scale"])
+        out[f"{prefix}.bias"] = _t(p["offset"])
+        out[f"{prefix}.running_mean"] = _t(s["mean"])
+        out[f"{prefix}.running_var"] = _t(s["var"])
+        out[f"{prefix}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    def lstm(prefix, p, suffix=""):
+        out[f"{prefix}.weight_ih{suffix}"] = _t(p["wi"]).T
+        out[f"{prefix}.weight_hh{suffix}"] = _t(p["wh"]).T
+        out[f"{prefix}.bias_ih{suffix}"] = _t(p["bi"])
+        out[f"{prefix}.bias_hh{suffix}"] = _t(p["bh"])
+
+    out["embedding.weight"] = _t(params["embedding"])
+    for i, layer in enumerate(params["encoder"]["convs"]):
+        conv(f"encoder.convolutions.{i}.0.conv", layer["conv"])
+        bn(f"encoder.convolutions.{i}.1", layer["bn"],
+           stats["encoder"]["convs"][i])
+    lstm("encoder.lstm", params["encoder"]["lstm_fwd"], "_l0")
+    lstm("encoder.lstm", params["encoder"]["lstm_bwd"], "_l0_reverse")
+
+    dp = params["decoder"]
+    for i, p in enumerate(dp["prenet"]):
+        dense(f"decoder.prenet.layers.{i}.linear_layer", p, bias=False)
+    lstm("decoder.attention_rnn", dp["attention_rnn"])
+    att = "decoder.attention_layer"
+    ap = dp["attention"]
+    dense(f"{att}.query_layer.linear_layer", ap["query"], bias=False)
+    dense(f"{att}.memory_layer.linear_layer", ap["memory"], bias=False)
+    dense(f"{att}.v.linear_layer", ap["v"], bias=False)
+    conv(f"{att}.location_layer.location_conv.conv", ap["location_conv"],
+         bias=False)
+    dense(f"{att}.location_layer.location_dense.linear_layer",
+          ap["location_dense"], bias=False)
+    lstm("decoder.decoder_rnn", dp["decoder_rnn"])
+    dense("decoder.linear_projection.linear_layer", dp["projection"])
+    dense("decoder.gate_layer.linear_layer", dp["gate"])
+
+    for i, layer in enumerate(params["postnet"]["convs"]):
+        conv(f"postnet.convolutions.{i}.0.conv", layer["conv"])
+        bn(f"postnet.convolutions.{i}.1", layer["bn"],
+           stats["postnet"]["convs"][i])
+    return out
+
+
+def save_torch_checkpoint(path: str, params: Dict, stats: Dict,
+                          cfg: Tacotron2Config, iteration: int = 0,
+                          learning_rate: float = 1e-3) -> None:
+    """Write a reference-format .pt checkpoint (the train.py save format,
+    /root/reference/train.py:112-118, minus the optimizer state — the
+    reference's resume path tolerates loading weights via --warm_start)."""
+    import torch
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_state_dict(params, stats, cfg).items()}
+    torch.save({"iteration": iteration, "state_dict": sd,
+                "learning_rate": learning_rate}, path)
 
 
 def load_torch_checkpoint(path: str, cfg: Tacotron2Config,

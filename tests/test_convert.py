@@ -210,6 +210,48 @@ def inputs():
     return text, lengths, mels
 
 
+class TestExport:
+    def test_roundtrip_exact(self, oracle_and_params):
+        """export_state_dict is the exact inverse of convert_state_dict."""
+        from tacotron2_tpu.convert import export_state_dict
+        oracle, params, stats = oracle_and_params
+        sd = export_state_dict(params, stats, CFG)
+        params2, stats2 = convert_state_dict(sd, CFG)
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), (params, stats),
+            (params2, stats2))
+
+    def test_torch_oracle_loads_export_strict(self, oracle_and_params,
+                                              inputs):
+        """A reference-architecture torch model loads the exported
+        state_dict with strict=True and produces identical outputs —
+        the 'switch back to the reference' interop path."""
+        from tacotron2_tpu.convert import export_state_dict
+        oracle, params, stats = oracle_and_params
+        sd = export_state_dict(params, stats, CFG)
+        fresh = TorchOracle(CFG).eval()
+        fresh.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                               for k, v in sd.items()}, strict=True)
+        text, lengths, _ = inputs
+        with torch.no_grad():
+            a = oracle.encode(torch.tensor(text), torch.tensor(lengths))
+            b = fresh.encode(torch.tensor(text), torch.tensor(lengths))
+        np.testing.assert_array_equal(a.numpy(), b.numpy())
+
+    def test_save_torch_checkpoint_roundtrip(self, oracle_and_params,
+                                             tmp_path):
+        from tacotron2_tpu.convert import (
+            load_torch_checkpoint, save_torch_checkpoint,
+        )
+        oracle, params, stats = oracle_and_params
+        path = str(tmp_path / "export.pt")
+        save_torch_checkpoint(path, params, stats, CFG, iteration=7)
+        params2, stats2 = load_torch_checkpoint(path, CFG)
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), (params, stats),
+            (params2, stats2))
+
+
 class TestConverterParity:
     def test_state_dict_fully_consumed(self, oracle_and_params):
         oracle, params, stats = oracle_and_params
