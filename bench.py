@@ -37,11 +37,15 @@ def main() -> None:
     # (models/decoder_vjp.py, +25%: backward computes only the sequential
     # data-gradient chain; LSTM weight gradients are hoisted into single
     # large matmuls, cuDNN-RNN style). unroll=8 is optimal under the
-    # leaner custom backward (u4 under plain autodiff).
+    # leaner custom backward (u4 under plain autodiff). Round-2b: the
+    # weights-resident Pallas forward AND backward scans
+    # (kernels/train_scan.py) keep all decoder weights VMEM-resident
+    # across the 512 sequential steps in each direction (+12% step-level
+    # over the XLA scans, 506.7k frames/s — PERFORMANCE.md).
     jax.config.update("jax_default_prng_impl", "unsafe_rbg")
     cfg = Tacotron2Config(compute_dtype="bfloat16", batch_size=128,
                           decoder_scan_unroll=8, prng_impl="unsafe_rbg",
-                          custom_vjp_decoder=True)
+                          custom_vjp_decoder=True, pallas_train_scan=True)
     B, T_in, T_out = cfg.batch_size, 128, 512
 
     n_dev = len(jax.devices())

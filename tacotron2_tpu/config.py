@@ -135,6 +135,23 @@ class Tacotron2Config:
     # row chunks is bitwise-identical per row, so any N gives EXACTLY the
     # same numbers as N=1. batch_size must be divisible by N. 1 = off.
     decoder_interleave: int = 1
+    # Run the teacher-forced decoder forward scan as ONE Pallas kernel
+    # with every decoder weight VMEM-resident across all steps
+    # (kernels/train_scan.py) — eliminates the ~36 MB/step weight
+    # re-stream that bounds the XLA scan. Drops in as the forward of the
+    # custom-VJP path (it emits the same residual stacks the hand-written
+    # backward consumes); requires custom_vjp_decoder=True, bfloat16
+    # compute, decoder_interleave=1, all of (prenet_dim,
+    # encoder_embedding_dim, attention_rnn_dim, decoder_rnn_dim,
+    # attention_dim) multiples of 128, and T_in <= 128; configurations
+    # outside that envelope silently fall back to the XLA forward scan.
+    pallas_train_scan: bool = False
+    # With pallas_train_scan: also run the BACKWARD data-gradient chain
+    # as a weights-resident reverse-grid Pallas kernel
+    # (kernels/train_scan.py:backward_chain); parameter gradients hoist
+    # outside from its emitted cotangent stacks. Same envelope and
+    # fallback as the forward kernel.
+    pallas_train_scan_bwd: bool = True
     # Checkpoint policy name (jax.checkpoint_policies.*) for the decoder
     # scan step, e.g. "dots_saveable": save only matmul outputs, recompute
     # elementwise ops in the backward — less residual HBM traffic than

@@ -182,6 +182,18 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
 
     # ------------------------------------------------------------ forward
     def _forward(dp, prenet_steps, memory, processed, mask, scan_rng):
+        if cfg.pallas_train_scan and n_il == 1:
+            from tacotron2_tpu.kernels import train_scan
+            if train_scan.supported(cfg, memory.shape[1],
+                                    prenet_steps.shape[1]):
+                outs = train_scan.forward_residuals(
+                    dp, prenet_steps, memory, processed, mask, scan_rng,
+                    cfg, dropout_active)
+                return (_Residuals(*outs),)
+        return _forward_xla(dp, prenet_steps, memory, processed, mask,
+                            scan_rng)
+
+    def _forward_xla(dp, prenet_steps, memory, processed, mask, scan_rng):
         T, B, _ = prenet_steps.shape
         A = dp["attention_rnn"]["wh"].shape[0]
         D = dp["decoder_rnn"]["wh"].shape[0]
@@ -406,17 +418,36 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
                 zero_attp,
             )
 
-        xs_chunks = tuple(
-            (r.ga, r.gd, r.att_h, r.att_c, sh[0], r.dec_c, sh[1],
-             r.w, sh[2], sh[3])
-            for r, sh in zip(res_chunks, shifts))
-        cot_chunks = tuple(
-            (d_dec_h_out[:, s], d_ctx_out[:, s], d_align_out[:, s])
-            for s in sls)
-        carries, emits = jax.lax.scan(
-            step, tuple(chunk_carry0() for _ in sls),
-            (jnp.arange(T), xs_chunks, cot_chunks),
-            reverse=True, unroll=unroll)
+        use_pallas_bwd = False
+        if cfg.pallas_train_scan and cfg.pallas_train_scan_bwd \
+                and n_il == 1:
+            from tacotron2_tpu.kernels import train_scan
+            use_pallas_bwd = train_scan.supported(cfg, T_in, B)
+        if use_pallas_bwd:
+            # Fused reverse-grid kernel: computes the sequential
+            # data-gradient chain with the transposed weights
+            # VMEM-resident and emits the same per-step cotangent stacks
+            # the hoisted einsums below consume; the attention parameter
+            # gradients come back hoisted from its d_M/d_q stacks
+            # (kernels/train_scan.py:backward_chain).
+            (dga_st, dgd_st, dpre_st, dctx_st, d_proc_k,
+             d_attp_k) = train_scan.backward_chain(
+                dp, res_chunks[0], memory, processed, mask, scan_rng,
+                d_dec_h_out, d_ctx_out, d_align_out, cfg, dropout_active)
+            carries = ((None,) * 7 + (d_proc_k, d_attp_k),)
+            emits = ((dga_st, dgd_st, dpre_st, dctx_st),)
+        else:
+            xs_chunks = tuple(
+                (r.ga, r.gd, r.att_h, r.att_c, sh[0], r.dec_c, sh[1],
+                 r.w, sh[2], sh[3])
+                for r, sh in zip(res_chunks, shifts))
+            cot_chunks = tuple(
+                (d_dec_h_out[:, s], d_ctx_out[:, s], d_align_out[:, s])
+                for s in sls)
+            carries, emits = jax.lax.scan(
+                step, tuple(chunk_carry0() for _ in sls),
+                (jnp.arange(T), xs_chunks, cot_chunks),
+                reverse=True, unroll=unroll)
 
         # hoisted gradients, accumulated over chunks:
         # - d_mem: ctx_t = sum_i w_ti mem_ie is linear, so d_mem =

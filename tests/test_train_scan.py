@@ -1,0 +1,132 @@
+"""Parity tests for the weights-resident Pallas training forward scan
+(kernels/train_scan.py) against the XLA custom-VJP forward
+(models/decoder_vjp.py) — interpret mode on CPU.
+
+The kernel accumulates in fp32 where the XLA bf16 path downcasts between
+its two gate dots, so values agree to bf16 round-off, not bitwise;
+dropout keep masks use the identical key derivation, so the dropout
+PATTERN (which units are zeroed) must match exactly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tacotron2_tpu.config import Tacotron2Config
+from tacotron2_tpu.models import decoder_vjp, tacotron2
+
+B, T_IN, T_STEPS = 8, 24, 5
+
+
+def small_cfg(**kw):
+    return Tacotron2Config(
+        n_symbols=40, symbols_embedding_dim=128, encoder_embedding_dim=128,
+        encoder_n_convolutions=1, attention_rnn_dim=128,
+        decoder_rnn_dim=128, prenet_dim=128, attention_dim=128,
+        attention_location_n_filters=4, attention_location_kernel_size=7,
+        n_mel_channels=16, compute_dtype="bfloat16",
+        custom_vjp_decoder=True, **kw)
+
+
+def make_inputs(cfg, seed=0):
+    r = np.random.RandomState(seed)
+    params, _ = tacotron2.init_params(jax.random.PRNGKey(seed), cfg)
+    dp = params["decoder"]
+    core = {
+        "attention_rnn": dp["attention_rnn"],
+        "attention": {k: dp["attention"][k]
+                      for k in ("query", "v", "location_conv",
+                                "location_dense")},
+        "decoder_rnn": dp["decoder_rnn"],
+    }
+    prenet = jnp.asarray(r.randn(T_STEPS, B, cfg.prenet_dim), jnp.float32) * .3
+    memory = jnp.asarray(r.randn(B, T_IN, cfg.encoder_embedding_dim),
+                         jnp.float32) * .3
+    proc = jnp.asarray(r.randn(B, T_IN, cfg.attention_dim), jnp.float32) * .3
+    lengths = np.full((B,), T_IN)
+    lengths[B // 2:] = T_IN - 5
+    mask = jnp.arange(T_IN)[None, :] < jnp.asarray(lengths)[:, None]
+    return core, prenet, memory, proc, mask
+
+
+def run(cfg, training, rng, seed=0):
+    core, prenet, memory, proc, mask = make_inputs(cfg, seed)
+    return decoder_vjp.core_scan(core, prenet, memory, proc, mask, rng,
+                                 cfg, training)
+
+
+@pytest.mark.parametrize("training", [False, True])
+def test_forward_parity(training):
+    rng = jax.random.PRNGKey(3) if training else None
+    ref = run(small_cfg(pallas_train_scan=False), training, rng)
+    got = run(small_cfg(pallas_train_scan=True), training, rng)
+    for r, g, name in zip(ref, got, ("dec_h", "ctx", "align")):
+        r, g = np.asarray(r, np.float32), np.asarray(g, np.float32)
+        assert g.shape == r.shape, name
+        np.testing.assert_allclose(g, r, atol=5e-2, rtol=0.1,
+                                   err_msg=name)
+    # alignments are probabilities — tighter check plus normalization
+    np.testing.assert_allclose(np.asarray(got[2]).sum(-1), 1.0, atol=1e-5)
+
+
+def test_dropout_pattern_bit_identical():
+    """Keep-mask derivation matches the XLA scan: zeroed units in the
+    saved post-dropout hidden stacks line up exactly."""
+    rng = jax.random.PRNGKey(11)
+
+    def stacks(pallas):
+        cfg = small_cfg(pallas_train_scan=pallas)
+        core, prenet, memory, proc, mask = make_inputs(cfg)
+        fn = decoder_vjp._make_core_scan(cfg, dropout_active=True)
+        # reach the residuals via jax.vjp's saved forward
+        out = fn(core, prenet, memory, proc, mask, rng)
+        return out[0]  # dec_h stack (post-dropout)
+
+    ref = np.asarray(stacks(False), np.float32)
+    got = np.asarray(stacks(True), np.float32)
+    np.testing.assert_array_equal(got == 0.0, ref == 0.0)
+
+
+def test_grad_parity():
+    """Gradients through the custom VJP with kernel-forward residuals
+    agree with the XLA-forward residual path (same hand-written bwd)."""
+    rng = jax.random.PRNGKey(5)
+
+    def loss_fn(cfg):
+        core, prenet, memory, proc, mask = make_inputs(cfg)
+
+        def f(core, prenet, memory, proc):
+            h, c, w = decoder_vjp.core_scan(core, prenet, memory, proc,
+                                            mask, rng, cfg, True)
+            return (jnp.sum(h * 1e-2) + jnp.sum(c * 1e-2)
+                    + jnp.sum(w * 1e-2))
+        return jax.grad(f, argnums=(0, 1, 2, 3))(core, prenet, memory,
+                                                 proc)
+
+    ref = loss_fn(small_cfg(pallas_train_scan=False))
+    got = loss_fn(small_cfg(pallas_train_scan=True))
+    flat_r, _ = jax.tree.flatten(ref)
+    flat_g, _ = jax.tree.flatten(got)
+    for r, g in zip(flat_r, flat_g):
+        r, g = np.asarray(r, np.float32), np.asarray(g, np.float32)
+        scale = max(np.abs(r).max(), 1e-3)
+        np.testing.assert_allclose(g / scale, r / scale, atol=8e-2)
+
+
+def test_supported_envelope():
+    from tacotron2_tpu.kernels import train_scan
+    cfg = small_cfg()
+    assert train_scan.supported(cfg, 128, 128)
+    assert train_scan.supported(cfg, 24, 8)
+    assert not train_scan.supported(cfg, 160, 128)     # T_in > 128
+    assert not train_scan.supported(cfg, 128, 12)      # B % 8
+    assert not train_scan.supported(cfg.replace(compute_dtype="float32"),
+                                    128, 128)
+    assert not train_scan.supported(cfg.replace(attention_dim=96), 128, 128)
+    assert not train_scan.supported(
+        cfg.replace(decoder_interleave=2), 128, 128)
+    # full-size production config qualifies
+    assert train_scan.supported(
+        Tacotron2Config(compute_dtype="bfloat16"), 128, 128)

@@ -56,9 +56,12 @@ def timeit(fn, *args, reps=10, warmup=2):
 
 
 def main():
+    pallas = "pallas" in sys.argv[1:]
     cfg = Tacotron2Config(compute_dtype="bfloat16", batch_size=B,
                           decoder_scan_unroll=8, prng_impl="unsafe_rbg",
-                          custom_vjp_decoder=True)
+                          custom_vjp_decoder=True,
+                          pallas_train_scan=pallas)
+    print(json.dumps({"pallas_train_scan": pallas}), flush=True)
     cdt = cfg.jax_compute_dtype
     mesh = create_mesh((len(jax.devices()), 1))
     state = create_sharded_state(jax.random.PRNGKey(0), cfg, mesh)
@@ -67,8 +70,20 @@ def main():
     rng = jax.random.PRNGKey(1)
     res = {}
 
-    res["step_full_ms"] = timeit(
-        lambda: step(state, batch, rng)[1].loss, reps=10)
+    # NOTE: the train step donates `state` (parallel/step.py) — it must be
+    # reassigned every call, so it gets its own timing loop.
+    def run_steps(state, n):
+        for _ in range(n):
+            state, metrics = step(state, batch, rng)
+        return state, metrics
+
+    state, metrics = run_steps(state, 2)
+    sync(metrics.loss)
+    t0 = time.perf_counter()
+    state, metrics = run_steps(state, 10)
+    sync(metrics.loss)
+    res["step_full_ms"] = (time.perf_counter() - t0) / 10 * 1e3
+    print(json.dumps({"step_full_ms": round(res["step_full_ms"], 1)}), flush=True)
 
     params = jax.device_get(state.params)
     stats = jax.device_get(state.stats)
@@ -80,10 +95,10 @@ def main():
         out, new_stats = model.forward(
             params, stats, batch.text, batch.text_lengths, batch.mel,
             batch.mel_lengths, cfg, training=True, rng=rng)
-        loss, _ = tacotron2_loss(out, batch, cfg)
-        return loss
+        return tacotron2_loss(out, batch.mel, batch.gate_target).total
 
     res["fwd_total_ms"] = timeit(fwd_loss, params, stats, reps=10)
+    print(json.dumps({"fwd_total_ms": round(res["fwd_total_ms"], 1)}), flush=True)
 
     # --- decoder core_scan in isolation ------------------------------
     dp = params["decoder"]
@@ -105,11 +120,15 @@ def main():
 
     @jax.jit
     def core_fwd(core_params, prenet_steps, memory, processed):
-        return decoder_vjp.core_scan(core_params, prenet_steps, memory,
-                                     processed, mask, key, cfg, True)
+        h, c, w = decoder_vjp.core_scan(core_params, prenet_steps, memory,
+                                        processed, mask, key, cfg, True)
+        # scalarize: a (T,B,D) stack is ~134 MB — transferring it through
+        # the tunnel would dwarf the device time being measured
+        return h.sum() + c.sum() + w.sum()
 
     res["core_fwd_ms"] = timeit(core_fwd, core_params, prenet_steps,
                                 memory, processed, reps=10)
+    print(json.dumps({"core_fwd_ms": round(res["core_fwd_ms"], 1)}), flush=True)
 
     @jax.jit
     def core_fwd_bwd(core_params, prenet_steps, memory, processed):
@@ -117,12 +136,14 @@ def main():
             h, c, w = decoder_vjp.core_scan(cp, ps, mem, proc, mask, key,
                                             cfg, True)
             return (h * 1e-3).sum() + (c * 1e-3).sum() + (w * 1e-3).sum()
-        return jax.grad(f, argnums=(0, 1, 2, 3))(
+        g = jax.grad(f, argnums=(0, 1, 2, 3))(
             core_params, prenet_steps, memory, processed)
+        return sum(x.sum() for x in jax.tree.leaves(g))  # scalarize
 
     res["core_fwd_bwd_ms"] = timeit(core_fwd_bwd, core_params,
                                     prenet_steps, memory, processed,
                                     reps=10)
+    print(json.dumps({"core_fwd_bwd_ms": round(res["core_fwd_bwd_ms"], 1)}), flush=True)
 
     # --- hoisted einsums standalone ----------------------------------
     A, D = cfg.attention_rnn_dim, cfg.decoder_rnn_dim
