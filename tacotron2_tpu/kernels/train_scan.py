@@ -91,9 +91,14 @@ def supported(cfg: Tacotron2Config, t_in: int, batch: int) -> bool:
     dims = scan_dims(cfg, t_in)
     aligned = all(x % 128 == 0 for x in
                   (dims.p, dims.e, dims.a, dims.d, dims.datt))
+    # batch > 128 blows the VMEM budget (the per-step flat attention
+    # tensors and residual-stream buffers scale with B): the Mosaic
+    # compile crashes rather than falling back, so the envelope bounds it
+    # (B=256 measured: remote_compile HTTP 500 for both fwd and bwd).
     return (cfg.jax_compute_dtype == jnp.bfloat16
             and cfg.decoder_interleave <= 1
-            and aligned and dims.t_pad == 128 and batch % 8 == 0
+            and aligned and dims.t_pad == 128
+            and batch % 8 == 0 and batch <= 128
             and dims.ks % 2 == 1)
 
 

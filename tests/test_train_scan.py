@@ -122,6 +122,7 @@ def test_supported_envelope():
     assert train_scan.supported(cfg, 24, 8)
     assert not train_scan.supported(cfg, 160, 128)     # T_in > 128
     assert not train_scan.supported(cfg, 128, 12)      # B % 8
+    assert not train_scan.supported(cfg, 128, 256)     # B > 128: VMEM
     assert not train_scan.supported(cfg.replace(compute_dtype="float32"),
                                     128, 128)
     assert not train_scan.supported(cfg.replace(attention_dim=96), 128, 128)
