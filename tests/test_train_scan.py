@@ -21,13 +21,15 @@ B, T_IN, T_STEPS = 8, 24, 5
 
 
 def small_cfg(**kw):
-    return Tacotron2Config(
+    base = dict(
         n_symbols=40, symbols_embedding_dim=128, encoder_embedding_dim=128,
         encoder_n_convolutions=1, attention_rnn_dim=128,
         decoder_rnn_dim=128, prenet_dim=128, attention_dim=128,
         attention_location_n_filters=4, attention_location_kernel_size=7,
         n_mel_channels=16, compute_dtype="bfloat16",
-        custom_vjp_decoder=True, **kw)
+        custom_vjp_decoder=True)
+    base.update(kw)
+    return Tacotron2Config(**base)
 
 
 def make_inputs(cfg, seed=0):
@@ -134,3 +136,36 @@ def test_supported_envelope():
     # full-size production config qualifies
     assert train_scan.supported(
         Tacotron2Config(compute_dtype="bfloat16"), 128, 128)
+
+
+def test_grad_error_vs_fp32_ground_truth():
+    """The kernel path's gradient error vs fp32 autodiff must be of the
+    same order as the XLA bf16 path's own bf16 error — i.e. the kernels
+    add round-off, not bugs."""
+    rng = jax.random.PRNGKey(5)
+
+    def grads(cfg):
+        core, prenet, memory, proc, mask = make_inputs(cfg)
+
+        def f(core, prenet, memory, proc):
+            h, c, w = decoder_vjp.core_scan(core, prenet, memory, proc,
+                                            mask, rng, cfg, True)
+            return (jnp.sum(h * 1e-2) + jnp.sum(c * 1e-2)
+                    + jnp.sum(w * 1e-2))
+        return jax.grad(f, argnums=(0, 1, 2, 3))(core, prenet, memory,
+                                                 proc)
+
+    g_f32 = grads(small_cfg(compute_dtype="float32",
+                            pallas_train_scan=False))
+    g_xla = grads(small_cfg(pallas_train_scan=False))
+    g_ker = grads(small_cfg(pallas_train_scan=True))
+    for f32l, xlal, kerl in zip(jax.tree.leaves(g_f32),
+                                jax.tree.leaves(g_xla),
+                                jax.tree.leaves(g_ker)):
+        f32a = np.asarray(f32l, np.float32)
+        scale = np.linalg.norm(f32a) + 1e-6
+        err_xla = np.linalg.norm(np.asarray(xlal, np.float32) - f32a)
+        err_ker = np.linalg.norm(np.asarray(kerl, np.float32) - f32a)
+        # kernels may differ in round-off placement; allow 3x + epsilon
+        assert err_ker <= 3.0 * err_xla + 2e-3 * scale, (
+            err_ker / scale, err_xla / scale)
