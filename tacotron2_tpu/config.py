@@ -143,8 +143,12 @@ class Tacotron2Config:
     # backward consumes); requires custom_vjp_decoder=True, bfloat16
     # compute, decoder_interleave=1, all of (prenet_dim,
     # encoder_embedding_dim, attention_rnn_dim, decoder_rnn_dim,
-    # attention_dim) multiples of 128, and T_in <= 128; configurations
-    # outside that envelope silently fall back to the XLA forward scan.
+    # attention_dim) multiples of 128, T_in <= 128, and batch <= 128;
+    # configurations outside that envelope silently fall back to the XLA
+    # forward scan. Validated single-chip and under the dp-sharded pjit
+    # step on a virtual mesh (interpret lowering); on a real multi-chip
+    # pod the Mosaic-call GSPMD partitioning is unvalidated — if the pod
+    # compile rejects it, set this flag False.
     pallas_train_scan: bool = False
     # With pallas_train_scan: also run the BACKWARD data-gradient chain
     # as a weights-resident reverse-grid Pallas kernel

@@ -169,3 +169,24 @@ def test_grad_error_vs_fp32_ground_truth():
         # kernels may differ in round-off placement; allow 3x + epsilon
         assert err_ker <= 3.0 * err_xla + 2e-3 * scale, (
             err_ker / scale, err_xla / scale)
+
+
+def test_sharded_step_with_kernel_8dev():
+    """The kernel path composes with the dp-sharded pjit train step on
+    the 8-virtual-device mesh (interpret lowering — validates sharded
+    semantics; real multi-chip Mosaic partitioning needs a pod)."""
+    from tacotron2_tpu.kernels import train_scan
+    from tacotron2_tpu.parallel import (create_mesh, create_sharded_state,
+                                        make_train_step)
+    from __graft_entry__ import _make_batch
+    import jax
+
+    cfg = small_cfg(batch_size=16, pallas_train_scan=True,
+                    mesh_shape=(8, 1))
+    assert train_scan.supported(cfg, 24, 16)
+    mesh = create_mesh((8, 1))
+    state = create_sharded_state(jax.random.PRNGKey(0), cfg, mesh)
+    step = make_train_step(cfg, mesh, state)
+    batch = _make_batch(cfg, B=16, T_in=24, T_out=32)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics.loss))
