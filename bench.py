@@ -43,6 +43,13 @@ def main() -> None:
     # across the 512 sequential steps in each direction (+12% step-level
     # over the XLA scans, 506.7k frames/s — PERFORMANCE.md).
     jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+    # Persistent compile cache: reuses an in-round warm compile if one
+    # exists, and shields the measurement from remote-compile latency
+    # (and from the wedge failure mode noted in PERFORMANCE.md).
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    except Exception:
+        pass
     cfg = Tacotron2Config(compute_dtype="bfloat16", batch_size=128,
                           decoder_scan_unroll=8, prng_impl="unsafe_rbg",
                           custom_vjp_decoder=True, pallas_train_scan=True)
