@@ -1,11 +1,11 @@
-"""Pallas TPU kernel: weights-resident teacher-forced decoder forward scan.
+"""Pallas TPU kernels: weights-resident teacher-forced decoder scans.
 
-The training step's forward decoder scan re-streams every decoder weight
-matrix from HBM on each of the ~512 sequential steps (~36 MB/step in
-bf16) — at B=128 that stream is comparable to the step's MXU time, so the
-XLA scan sits at max(weight-stream, compute) per step (PERFORMANCE.md).
-This kernel runs the WHOLE forward scan as one ``pallas_call`` with
-``grid=(T_steps,)``:
+The training step's decoder scan re-streams every decoder weight matrix
+from HBM on each of the ~512 sequential steps (~36 MB/step in bf16) — at
+B=128 that stream is comparable to the step's MXU time, so the XLA scan
+sits at max(weight-stream, compute) per step (PERFORMANCE.md). The two
+kernels here run the WHOLE forward scan and the whole backward
+data-gradient chain as single ``pallas_call``s with ``grid=(T_steps,)``:
 
 - every weight matrix has a constant ``index_map``, so the Pallas
   pipeline fetches it into VMEM once and it stays resident for all steps
@@ -14,34 +14,59 @@ This kernel runs the WHOLE forward scan as one ``pallas_call`` with
   lives in VMEM scratch, persisting across grid steps;
 - per-step residual stacks stream out with ``index_map=(t, 0, 0)`` —
   exactly the ``_Residuals`` the custom-VJP backward
-  (models/decoder_vjp.py) consumes, so this kernel drops in as the
-  forward of the existing hand-written VJP.
+  (models/decoder_vjp.py) consumes, so the forward kernel drops in as
+  the forward of the existing hand-written VJP.
 
-Location-sensitive attention without transposes or 3D relayouts: the
-per-step energies tensor ``tanh(q + loc + proc)`` lives FLAT as
-``(B, attention_dim * T_pad)`` (lane ``d*T_pad + t``), produced by ONE
-MXU matmul ``[w ; w_cum ; q] @ W_big`` where ``W_big`` stacks two banded
-Toeplitz matrices (the k=31 location conv folded through the 32->128
-location dense — conv over the T lane dim as a banded matmul) and a
-query-replication selector. The masked-softmax energies then reduce over
-``d`` with a second matmul against a v-folded block-diagonal selector.
-This trades ~1.2 GFLOP/step of extra (structured-sparse) MXU work for a
+Location-sensitive attention without transposes or 3D relayouts, in a
+T-MAJOR tiled layout (round 3; the round-2 kernel was d-major and hard
+capped at T_in <= 128 because its banded matrices scaled O(T^2)):
+
+- the per-step energies tensor ``tanh(q + loc + proc)`` lives FLAT as
+  ``(B, T_pad * attention_dim)`` (lane ``t*datt + d``), processed in
+  tiles of TT=64 encoder positions;
+- for each tile, ONE MXU matmul ``cat @ band`` produces the tile's
+  pre-tanh tensor, where ``cat = [w_window ; w_cum_window ; query]`` and
+  ``band`` stacks two WINDOWED banded-Toeplitz matrices (the k=31
+  location conv folded through the 32->128 location dense) plus a
+  query-replication selector. Because the conv is
+  translation-invariant, the SAME (2*128+datt, TT*datt) band matrix
+  serves every tile — its size is independent of T_in, which is what
+  lifts the round-2 T_in <= 128 cap to 256;
+- the masked-softmax energies reduce over ``d`` with a second matmul
+  against a v-folded block-diagonal selector (also shared across tiles).
+
+This trades ~1 GFLOP/step of extra (structured-sparse) MXU work for a
 layout in which every op is a plain matmul, lane slice, or lane-dim
 reduction.
+
+The BACKWARD kernel (``backward_chain``) mirrors the reverse scan of
+decoder_vjp with the transposed LSTM weights and the banded matrices
+VMEM-resident. Per step it computes ONLY the sequential data-gradient
+chain and emits per-step cotangent stacks (dga, dgd, d_prenet, d_ctx,
+d_q, d_e); every parameter gradient hoists outside into batched einsums.
+Round-3 change: the kernel no longer emits the (T, B, T_pad*datt) ``d_M``
+stack (2.1 GB of HBM writes riding the sequential scan at T_in=128,
+4.3 GB at 256) — it emits the (T, B, T_pad) softmax-backward cotangent
+``d_e`` instead (~130x smaller), and ``attention_param_grads``
+rematerializes the conv features from the saved attention-weight stacks
+when it hoists the location conv/dense gradients.
 
 Numerics vs the XLA forward (``decoder_vjp._forward``): forward math is
 the same op chain with fp32 accumulation where the XLA bf16 path
 downcasts between its two LSTM gate dots, so values match to bf16
 round-off (tests pin ~2e-2 absolute on unit-scale activations); dropout
 keep masks are precomputed OUTSIDE with the identical
-``fold_in(fold_in(rng, t), 0|1)`` key derivation, so the dropout pattern
-is bit-identical to the XLA scan's.
+``fold_in(fold_in(rng, t), 0|1)`` key derivation — stored as bf16 0/1
+keep bits (exact) and scaled in-kernel by the static fp32 1/(1-p), the
+same fp32 product the scale-mask formulation computes — so the dropout
+pattern is bit-identical to the XLA scan's.
 
-Envelope: bf16 compute, B a multiple of 8, T_in <= 128, and (prenet_dim,
-encoder_embedding_dim, attention_rnn_dim, decoder_rnn_dim,
-attention_dim) all multiples of 128 (the default 256/512/1024/1024/128
-config qualifies). ``supported()`` reports eligibility; callers fall
-back to the XLA scan otherwise.
+Envelope: bf16 compute, per-shard batch a multiple of 8 and <= 128,
+T_in <= 256 (<= 192 when B > 64: the backward's resident set at
+B=128/T=256 exceeds VMEM), and (prenet_dim, encoder_embedding_dim,
+attention_rnn_dim, decoder_rnn_dim, attention_dim) all multiples of 128
+(the default 256/512/1024/1024/128 config qualifies). ``supported()``
+reports eligibility; callers fall back to the XLA scan otherwise.
 
 Reference behavior covered: the teacher-forced decoder loop
 (/root/reference/model.py:381-416) including per-step attention
@@ -63,18 +88,41 @@ from tacotron2_tpu.config import Tacotron2Config
 
 NEG = -1e30  # additive mask stand-in for -inf (keeps softmax finite)
 
+TT = 64      # encoder-position tile size of the flat attention layout
+WOFF = 16    # window margin (>= (ks-1)//2; ks <= 33)
+CS = 128     # channel stride inside the cat vector (lane-aligned slots)
+
 
 class ScanDims(NamedTuple):
-    """Static layout of the training-scan kernel."""
+    """Static layout of the training-scan kernels."""
     p: int       # prenet_dim
     e: int       # encoder_embedding_dim
     a: int       # attention_rnn_dim
     d: int       # decoder_rnn_dim
     datt: int    # attention_dim
     ks: int      # location conv kernel size (odd)
-    t_pad: int   # encoder length padded to a multiple of 128
+    t_pad: int   # encoder length padded to a multiple of TT
     k1: int      # p + e + a (attention LSTM input rows)
     k2: int      # a + e + d (decoder LSTM input rows)
+
+    @property
+    def n_tiles(self) -> int:
+        return self.t_pad // TT
+
+    @property
+    def w_win(self) -> int:
+        """Rows of one channel's window: the TT tile plus both margins."""
+        return TT + 2 * WOFF
+
+    @property
+    def cat_w(self) -> int:
+        """Width of the per-tile cat vector: two CS-aligned channel slots
+        ([0:w_win) and [CS:CS+w_win), margins zero) plus the query."""
+        return 2 * CS + self.datt
+
+    @property
+    def ttd(self) -> int:
+        return TT * self.datt
 
 
 def scan_dims(cfg: Tacotron2Config, t_in: int) -> ScanDims:
@@ -82,24 +130,31 @@ def scan_dims(cfg: Tacotron2Config, t_in: int) -> ScanDims:
     a, d = cfg.attention_rnn_dim, cfg.decoder_rnn_dim
     return ScanDims(p=p, e=e, a=a, d=d, datt=cfg.attention_dim,
                     ks=cfg.attention_location_kernel_size,
-                    t_pad=-(-t_in // 128) * 128,
+                    t_pad=-(-t_in // TT) * TT,
                     k1=p + e + a, k2=a + e + d)
 
 
 def supported(cfg: Tacotron2Config, t_in: int, batch: int) -> bool:
-    """Whether this (cfg, shapes) combination fits the kernel envelope."""
+    """Whether this (cfg, shapes) combination fits the kernel envelope.
+
+    ``batch`` is the global batch; under a dp-sharded step the kernel
+    sees the per-shard slice, so the bound applies to
+    batch / mesh_shape[0] when that divides evenly (ADVICE r2).
+    """
     dims = scan_dims(cfg, t_in)
     aligned = all(x % 128 == 0 for x in
                   (dims.p, dims.e, dims.a, dims.d, dims.datt))
-    # batch > 128 blows the VMEM budget (the per-step flat attention
-    # tensors and residual-stream buffers scale with B): the Mosaic
-    # compile crashes rather than falling back, so the envelope bounds it
-    # (B=256 measured: remote_compile HTTP 500 for both fwd and bwd).
+    dp = max(1, cfg.mesh_shape[0]) if cfg.mesh_shape else 1
+    b_shard = batch // dp if (dp > 1 and batch % dp == 0) else batch
+    # VMEM bound: the backward kernel's resident set (both band
+    # orientations + memory + the transposed LSTM weights) exceeds VMEM
+    # at B=128 x T_pad=256; B <= 64 leaves room for the full 256.
+    t_cap = 256 if b_shard <= 64 else 192
     return (cfg.jax_compute_dtype == jnp.bfloat16
             and cfg.decoder_interleave <= 1
-            and aligned and dims.t_pad == 128
-            and batch % 8 == 0 and batch <= 128
-            and dims.ks % 2 == 1)
+            and aligned and dims.t_pad <= t_cap
+            and b_shard % 8 == 0 and b_shard <= 128
+            and dims.ks % 2 == 1 and dims.ks <= 2 * WOFF + 1)
 
 
 # ------------------------------------------------------------- packing
@@ -107,30 +162,32 @@ def supported(cfg: Tacotron2Config, t_in: int, batch: int) -> bool:
 def _band_constants(dims: ScanDims):
     """Constant structure tensors (baked into the executable).
 
-    E3[k] is the shifted identity placing conv tap k on its diagonal:
-    band[tau, t] must pick K2[tau - t + pad], i.e. ones at
-    t = tau - (k - pad)  ->  np.eye(T, k=pad - k).
-    qsel replicates the query across every t within its d-block;
-    eyeT is reused to fold v into the energy-reduction selector.
+    Ew[k] places conv tap k inside the window: the cat vector's channel
+    slab holds w[t0 - WOFF + j] at row j, and the tile's output position
+    tl needs tap k at w[t0 + tl + k - pad], i.e. j = tl + k + (WOFF-pad)
+    -> np.eye(w_win, TT, k=-(k + WOFF - pad)). Because the conv is
+    translation-invariant this is the SAME matrix for every tile.
+    qsel replicates the query across every tile position; eye_tt is
+    reused to fold v into the energy-reduction selector.
     """
-    T = dims.t_pad
     pad = (dims.ks - 1) // 2
-    E3 = np.stack([np.eye(T, k=pad - k, dtype=np.float32)
-                   for k in range(dims.ks)])               # (ks, T, T)
-    qsel = np.kron(np.eye(dims.datt, dtype=np.float32),
-                   np.ones((1, T), np.float32))            # (datt, datt*T)
-    eyeT = np.eye(T, dtype=np.float32)
-    return jnp.asarray(E3), jnp.asarray(qsel), jnp.asarray(eyeT)
+    off = WOFF - pad
+    Ew = np.stack([np.eye(dims.w_win, TT, k=-(off + k), dtype=np.float32)
+                   for k in range(dims.ks)])           # (ks, w_win, TT)
+    qsel = np.tile(np.eye(dims.datt, dtype=np.float32),
+                   (1, TT))                            # (datt, TT*datt)
+    eye_tt = np.eye(TT, dtype=np.float32)
+    return jnp.asarray(Ew), jnp.asarray(qsel), jnp.asarray(eye_tt)
 
 
 def pack_weights(core_params, dims: ScanDims, dtype=jnp.bfloat16):
     """Repack the decoder core pytree into the kernel's resident layout.
 
-    Runs under jit inside the train step (cheap: ~0.5 GFLOP for the
-    banded Toeplitz build). Not differentiated — the custom-VJP backward
-    computes parameter gradients analytically from the residual stacks.
+    Runs under jit inside the train step (cheap: ~0.2 GFLOP for the
+    windowed-Toeplitz band build). Not differentiated — the custom-VJP
+    backward computes parameter gradients analytically from the residual
+    stacks.
     """
-    T = dims.t_pad
     arn, dcn = core_params["attention_rnn"], core_params["decoder_rnn"]
     att = core_params["attention"]
     f32 = jnp.float32
@@ -144,30 +201,33 @@ def pack_weights(core_params, dims: ScanDims, dtype=jnp.bfloat16):
     # conv (ks, 2, F) folded through dense (F, datt): K2 (ks, 2, datt)
     K2 = jnp.einsum("kcf,fD->kcD", att["location_conv"]["kernel"],
                     att["location_dense"]["kernel"])
-    E3, qsel, eyeT = _band_constants(dims)
-    # band_c[tau, d*T + t] = K2[tau - t + pad, c, d]
-    bands = []
+    Ew, qsel, eye_tt = _band_constants(dims)
+    # band_c[j, tl*datt + d] = K2 tap hitting output tl from window row j
+    band = jnp.zeros((dims.cat_w, dims.ttd), f32)
     for c in range(2):
-        b3 = jnp.einsum("kab,kd->adb", E3, K2[:, c])   # (T, datt, T)
-        bands.append(b3.reshape(T, dims.datt * T))
-    wbig = jnp.concatenate([bands[0], bands[1], qsel],
-                           axis=0).astype(dtype)       # (2T+datt, datt*T)
-    # selv[d*T + t, t'] = v[d] * (t == t')
+        b3 = jnp.einsum("kjt,kd->jtd", Ew, K2[:, c])   # (w_win, TT, datt)
+        band = jax.lax.dynamic_update_slice(
+            band, b3.reshape(dims.w_win, dims.ttd), (c * CS, 0))
+    band = jax.lax.dynamic_update_slice(band, qsel, (2 * CS, 0))
+    band = band.astype(dtype)                          # (cat_w, TT*datt)
+
+    # selv[tl*datt + d, tl'] = v[d] * (tl == tl')  — shared by all tiles
     v = att["v"]["kernel"][:, 0]                       # (datt,)
-    selv = (v[:, None, None] * eyeT[None]).reshape(
-        dims.datt * T, T).astype(dtype)
-    return w1, b1, w2, b2, wq, wbig, selv
+    selv = (eye_tt[:, None, :] * v[None, :, None]).reshape(
+        dims.ttd, TT).astype(dtype)
+    return w1, b1, w2, b2, wq, band, selv
 
 
 def pack_batch(memory, processed, mask, dims: ScanDims, dtype=jnp.bfloat16):
-    """Flatten per-batch attention constants into the kernel lane layout."""
+    """Flatten per-batch attention constants into the t-major lane layout
+    (both are plain reshapes — no transposes)."""
     B, t_in, _ = memory.shape
     T = dims.t_pad
     pt = T - t_in
     mem_flat = jnp.pad(memory, ((0, 0), (0, pt), (0, 0))).astype(
         dtype).reshape(B, T * dims.e)
     proc_flat = jnp.pad(processed, ((0, 0), (0, pt), (0, 0))).astype(
-        dtype).transpose(0, 2, 1).reshape(B, dims.datt * T)
+        dtype).reshape(B, T * dims.datt)
     if mask is None:
         mask = jnp.ones((B, t_in), bool)
     maskp = jnp.pad(mask, ((0, 0), (0, pt)))
@@ -175,40 +235,46 @@ def pack_batch(memory, processed, mask, dims: ScanDims, dtype=jnp.bfloat16):
     return mem_flat, proc_flat, emask
 
 
-def keep_scale_masks(scan_rng, T_steps: int, B: int, dims: ScanDims,
-                     p_att: float, p_dec: float):
-    """(T, B, a)/(T, B, d) fp32 dropout scale masks (0 or 1/(1-p)),
-    drawn with EXACTLY the key derivation of the in-scan XLA path
-    (decoder_vjp._step_keep_masks), so the pattern is bit-identical."""
+def keep_masks(scan_rng, T_steps: int, B: int, dims: ScanDims,
+               p_att: float, p_dec: float):
+    """(T, B, a)/(T, B, d) bf16 0/1 dropout KEEP masks, drawn with
+    EXACTLY the key derivation of the in-scan XLA path
+    (decoder_vjp._step_keep_masks), so the pattern is bit-identical.
+    The 1/(1-p) scale is applied in-kernel as a static fp32 scalar —
+    the same fp32 product the round-2 fp32 scale-mask formulation
+    computed, at half the HBM footprint and stream bandwidth."""
     def one(t):
         key_t = jax.random.fold_in(scan_rng, t)
         ka = jax.random.bernoulli(jax.random.fold_in(key_t, 0),
                                   1.0 - p_att, (B, dims.a))
         kd = jax.random.bernoulli(jax.random.fold_in(key_t, 1),
                                   1.0 - p_dec, (B, dims.d))
-        return (jnp.where(ka, 1.0 / (1.0 - p_att), 0.0),
-                jnp.where(kd, 1.0 / (1.0 - p_dec), 0.0))
+        return (ka.astype(jnp.bfloat16), kd.astype(jnp.bfloat16))
     return jax.vmap(one)(jnp.arange(T_steps))
 
 
 # -------------------------------------------------------------- kernel
 
-def _make_kernel(dims: ScanDims, B: int, dropout: bool, dtype):
+def _make_kernel(dims: ScanDims, B: int, dropout: bool,
+                 p_att: float, p_dec: float, dtype):
     d = dims
     T = d.t_pad
+    W = d.w_win
     f32 = jnp.float32
+    s_att = 1.0 / (1.0 - p_att) if p_att > 0 else 1.0
+    s_dec = 1.0 / (1.0 - p_dec) if p_dec > 0 else 1.0
 
     def kernel(*refs):
         it = iter(refs)
-        w1, b1, w2, b2, wq, wbig, selv, proc, mem, emask = \
+        w1, b1, w2, b2, wq, band, selv, proc, mem, emask = \
             (next(it) for _ in range(10))
         prenet_r = next(it)
         katt_r = next(it) if dropout else None
         kdec_r = next(it) if dropout else None
         (ga_r, gd_r, atth_r, dech_r, attc_r, decc_r, ctx_r, w_r) = \
             (next(it) for _ in range(8))
-        (x1, x2, cat, h1s, c1s, h2s, c2s, ws, wcs, ctxs) = \
-            (next(it) for _ in range(10))
+        (x1, x2, cat, h1s, c1s, h2s, c2s, wsp, wcsp, ctxs, efull) = \
+            (next(it) for _ in range(11))
 
         t = pl.program_id(0)
 
@@ -218,9 +284,10 @@ def _make_kernel(dims: ScanDims, B: int, dropout: bool, dtype):
             c1s[:] = jnp.zeros_like(c1s)
             h2s[:] = jnp.zeros_like(h2s)
             c2s[:] = jnp.zeros_like(c2s)
-            ws[:] = jnp.zeros_like(ws)
-            wcs[:] = jnp.zeros_like(wcs)
+            wsp[:] = jnp.zeros_like(wsp)
+            wcsp[:] = jnp.zeros_like(wcsp)
             ctxs[:] = jnp.zeros_like(ctxs)
+            cat[:] = jnp.zeros_like(cat)  # channel-slot margins stay 0
 
         # ---- attention LSTM:  [prenet_t ; ctx ; h1] @ [wi ; wh] ----
         x1[:, 0:d.p] = prenet_r[0]
@@ -231,17 +298,20 @@ def _make_kernel(dims: ScanDims, B: int, dropout: bool, dtype):
                + jax.nn.sigmoid(g1[:, 0:d.a])
                * jnp.tanh(g1[:, 2 * d.a:3 * d.a]))
         h1n = jax.nn.sigmoid(g1[:, 3 * d.a:4 * d.a]) * jnp.tanh(c1n)
-        h1d = h1n * katt_r[0] if dropout else h1n
+        h1d = h1n * (katt_r[0].astype(f32) * s_att) if dropout else h1n
 
-        # ---- location-sensitive attention (flat (B, datt*T) layout) ----
+        # ---- location-sensitive attention (t-major windowed tiles) ----
         q = jnp.dot(h1d.astype(dtype), wq[:], preferred_element_type=f32)
-        cat[:, 0:T] = ws[:].astype(dtype)
-        cat[:, T:2 * T] = wcs[:].astype(dtype)
-        cat[:, 2 * T:2 * T + d.datt] = q.astype(dtype)
-        m = jnp.dot(cat[:], wbig[:], preferred_element_type=f32)
-        feat = jnp.tanh(m + proc[:].astype(f32))
-        e = jnp.dot(feat.astype(dtype), selv[:],
-                    preferred_element_type=f32) + emask[:]
+        cat[:, 2 * CS:2 * CS + d.datt] = q.astype(dtype)
+        for i in range(d.n_tiles):
+            cat[:, 0:W] = wsp[:, i * TT:i * TT + W].astype(dtype)
+            cat[:, CS:CS + W] = wcsp[:, i * TT:i * TT + W].astype(dtype)
+            m = jnp.dot(cat[:], band[:], preferred_element_type=f32)
+            feat = jnp.tanh(
+                m + proc[:, i * d.ttd:(i + 1) * d.ttd].astype(f32))
+            efull[:, i * TT:(i + 1) * TT] = jnp.dot(
+                feat.astype(dtype), selv[:], preferred_element_type=f32)
+        e = efull[:] + emask[:]
         mx = jnp.max(e, axis=1, keepdims=True)
         ex = jnp.exp(e - mx)
         wnew = ex / jnp.sum(ex, axis=1, keepdims=True)
@@ -259,7 +329,7 @@ def _make_kernel(dims: ScanDims, B: int, dropout: bool, dtype):
                + jax.nn.sigmoid(g2[:, 0:d.d])
                * jnp.tanh(g2[:, 2 * d.d:3 * d.d]))
         h2n = jax.nn.sigmoid(g2[:, 3 * d.d:4 * d.d]) * jnp.tanh(c2n)
-        h2d = h2n * kdec_r[0] if dropout else h2n
+        h2d = h2n * (kdec_r[0].astype(f32) * s_dec) if dropout else h2n
 
         # ---- residual stacks out; state update ----
         ga_r[0] = g1.astype(dtype)
@@ -274,23 +344,23 @@ def _make_kernel(dims: ScanDims, B: int, dropout: bool, dtype):
         c1s[:] = c1n
         h2s[:] = h2d
         c2s[:] = c2n
-        ws[:] = wnew
-        wcs[:] = wcs[:] + wnew
+        wsp[:, WOFF:WOFF + T] = wnew
+        wcsp[:, WOFF:WOFF + T] = wcsp[:, WOFF:WOFF + T] + wnew
         ctxs[:] = ctx
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "dropout",
-                                             "interpret"))
-def _scan_call(w1, b1, w2, b2, wq, wbig, selv, proc_flat, mem_flat, emask,
+@functools.partial(jax.jit, static_argnames=("dims", "dropout", "p_att",
+                                             "p_dec", "interpret"))
+def _scan_call(w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat, emask,
                prenet_steps, katt, kdec, dims: ScanDims, dropout: bool,
-               interpret: bool):
+               p_att: float, p_dec: float, interpret: bool):
     d = dims
     T_steps, B, _ = prenet_steps.shape
     dtype = jnp.bfloat16
     f32 = jnp.float32
-    kern = _make_kernel(d, B, dropout, dtype)
+    kern = _make_kernel(d, B, dropout, p_att, p_dec, dtype)
 
     const = lambda shape: pl.BlockSpec(
         shape, lambda t: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
@@ -298,11 +368,11 @@ def _scan_call(w1, b1, w2, b2, wq, wbig, selv, proc_flat, mem_flat, emask,
         (1,) + shape, lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
 
     in_specs = [const(w1.shape), const(b1.shape), const(w2.shape),
-                const(b2.shape), const(wq.shape), const(wbig.shape),
+                const(b2.shape), const(wq.shape), const(band.shape),
                 const(selv.shape), const(proc_flat.shape),
                 const(mem_flat.shape), const(emask.shape),
                 stream((B, d.p))]
-    inputs = [w1, b1, w2, b2, wq, wbig, selv, proc_flat, mem_flat, emask,
+    inputs = [w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat, emask,
               prenet_steps]
     if dropout:
         in_specs += [stream((B, d.a)), stream((B, d.d))]
@@ -322,11 +392,13 @@ def _scan_call(w1, b1, w2, b2, wq, wbig, selv, proc_flat, mem_flat, emask,
 
     scratch = [
         pltpu.VMEM((B, d.k1), dtype), pltpu.VMEM((B, d.k2), dtype),
-        pltpu.VMEM((B, 2 * d.t_pad + d.datt), dtype),
+        pltpu.VMEM((B, d.cat_w), dtype),
         pltpu.VMEM((B, d.a), f32), pltpu.VMEM((B, d.a), f32),
         pltpu.VMEM((B, d.d), f32), pltpu.VMEM((B, d.d), f32),
-        pltpu.VMEM((B, d.t_pad), f32), pltpu.VMEM((B, d.t_pad), f32),
+        pltpu.VMEM((B, d.t_pad + 2 * WOFF), f32),
+        pltpu.VMEM((B, d.t_pad + 2 * WOFF), f32),
         pltpu.VMEM((B, d.e), f32),
+        pltpu.VMEM((B, d.t_pad), f32),
     ]
     return pl.pallas_call(
         kern,
@@ -336,7 +408,7 @@ def _scan_call(w1, b1, w2, b2, wq, wbig, selv, proc_flat, mem_flat, emask,
         out_shape=outs,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 2 ** 20),
+            vmem_limit_bytes=124 * 2 ** 20),
         interpret=interpret,
     )(*inputs)
 
@@ -358,19 +430,20 @@ def forward_residuals(core_params, prenet_steps, memory, processed, mask,
     t_in = memory.shape[1]
     dtype = jnp.bfloat16
 
-    w1, b1, w2, b2, wq, wbig, selv = pack_weights(core_params, dims, dtype)
+    w1, b1, w2, b2, wq, band, selv = pack_weights(core_params, dims, dtype)
     mem_flat, proc_flat, emask = pack_batch(memory, processed, mask, dims,
                                             dtype)
     if dropout_active:
-        katt, kdec = keep_scale_masks(scan_rng, T_steps, B, dims,
-                                      cfg.p_attention_dropout,
-                                      cfg.p_decoder_dropout)
+        katt, kdec = keep_masks(scan_rng, T_steps, B, dims,
+                                cfg.p_attention_dropout,
+                                cfg.p_decoder_dropout)
     else:
         katt = kdec = jnp.zeros((1,), jnp.float32)  # unused placeholder
 
-    outs = _scan_call(w1, b1, w2, b2, wq, wbig, selv, proc_flat, mem_flat,
+    outs = _scan_call(w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat,
                       emask, prenet_steps.astype(dtype), katt, kdec,
-                      dims, dropout_active, interpret)
+                      dims, dropout_active, cfg.p_attention_dropout,
+                      cfg.p_decoder_dropout, interpret)
     ga, gd, att_h, dec_h, att_c, dec_c, ctx, w = outs
     return ga, gd, att_h, dec_h, att_c, dec_c, ctx, w[..., :t_in]
 
@@ -378,30 +451,28 @@ def forward_residuals(core_params, prenet_steps, memory, processed, mask,
 # ===================================================================
 # Backward data-gradient chain kernel
 # ===================================================================
-#
-# Mirrors decoder_vjp's backward scan (chunk_bwd_step) as one reverse
-# pallas_call with the transposed LSTM weights and the attention banded
-# matrices VMEM-resident. Per step it computes ONLY the sequential
-# data-gradient chain and emits per-step cotangent stacks (dga, dgd,
-# d_prenet, d_ctx_total, d_q, d_M); every parameter gradient is hoisted
-# outside into batched einsums over those stacks (attention_param_grads
-# below + the existing LSTM dW hoists in decoder_vjp.bwd).
 
 def pack_bwd_weights(core_params, dims: ScanDims, dtype=jnp.bfloat16):
     """Transposed/resident operands for the backward kernel."""
-    w1, b1, w2, b2, wq, wbig, selv = pack_weights(core_params, dims, dtype)
+    w1, b1, w2, b2, wq, band, selv = pack_weights(core_params, dims, dtype)
     del b1, b2, selv
-    T = dims.t_pad
+    # rep1[tl', tl*datt + d] = (tl == tl'): replicates the per-tile
+    # softmax cotangent de (B, TT) to the flat (B, TT*datt) layout.
+    rep1 = jnp.kron(jnp.eye(TT, dtype=jnp.float32),
+                    jnp.ones((1, dims.datt), jnp.float32)).astype(dtype)
     v = core_params["attention"]["v"]["kernel"][:, 0]
-    vrep = jnp.repeat(v, T)[None, :].astype(jnp.float32)  # (1, datt*T)
-    return (w1.T, w2.T, wq, wq.T, wbig, wbig.T, vrep)
+    vrep = jnp.tile(v, TT)[None, :].astype(jnp.float32)  # (1, TT*datt)
+    return (w1.T, w2.T, wq, wq.T, band, band.T, rep1, vrep)
 
 
 def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
-                     dtype):
+                     p_att: float, p_dec: float, dtype):
     d = dims
     T = d.t_pad
+    W = d.w_win
     f32 = jnp.float32
+    s_att = 1.0 / (1.0 - p_att) if p_att > 0 else 1.0
+    s_dec = 1.0 / (1.0 - p_dec) if p_dec > 0 else 1.0
 
     def lstm_gates_bwd(gates, c_prev, c_new, dh, dc_in, H):
         g = gates[:].astype(f32) if hasattr(gates, "shape") else gates
@@ -423,17 +494,17 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
 
     def kernel(*refs):
         it = iter(refs)
-        (wta, wtd, wq, wqt, wbig, wbigt, vrep, proc, mem) = \
-            (next(it) for _ in range(9))
+        (wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc, mem) = \
+            (next(it) for _ in range(10))
         (ga_r, gd_r, atth_r, attc_r, attc_p_r, decc_r, decc_p_r,
          w_r, w_p_r, wcum_p_r, ddh_r, dctx_o_r, dalign_r) = \
             (next(it) for _ in range(13))
         katt_r = next(it) if dropout else None
         kdec_r = next(it) if dropout else None
-        (dga_o, dgd_o, dpre_o, dctx_o, dq_o, dm_o, dproc_o, dv_o) = \
-            (next(it) for _ in range(8))
-        (c_dah, c_dac, c_ddh, c_ddc, c_dw, c_dwc, c_dctx) = \
+        (dga_o, dgd_o, dpre_o, dctx_o, dq_o, dm_o, dv_o) = \
             (next(it) for _ in range(7))
+        (c_dah, c_dac, c_ddh, c_ddc, c_dw, c_dwc, c_dctx,
+         cat, wp_s, wc_s, acc_w, acc_wc) = (next(it) for _ in range(12))
 
         pid = pl.program_id(0)
         first = pid == 0            # processes t = nsteps-1 (chain start)
@@ -448,20 +519,22 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
             c_dw[:] = jnp.zeros_like(c_dw)
             c_dwc[:] = jnp.zeros_like(c_dwc)
             c_dctx[:] = jnp.zeros_like(c_dctx)
-            dproc_o[:] = jnp.zeros_like(dproc_o)
             dv_o[:] = jnp.zeros_like(dv_o)
+            cat[:] = jnp.zeros_like(cat)
+            wp_s[:] = jnp.zeros_like(wp_s)   # margins stay zero
+            wc_s[:] = jnp.zeros_like(wc_s)
 
         # previous-step saved state; ALL-ZERO initial state at t=0
         zmask = jnp.where(last, 0.0, 1.0)
         attc_p = attc_p_r[0] * zmask
         decc_p = decc_p_r[0] * zmask
-        w_p = w_p_r[0] * zmask
-        wcum_p = wcum_p_r[0] * zmask
+        wp_s[:, WOFF:WOFF + T] = w_p_r[0] * zmask
+        wc_s[:, WOFF:WOFF + T] = wcum_p_r[0] * zmask
 
         # ---- decoder LSTM backward ----
         ddh_total = c_ddh[:] + ddh_r[0]
         if dropout:
-            ddh_total = ddh_total * kdec_r[0]
+            ddh_total = ddh_total * (kdec_r[0].astype(f32) * s_dec)
         dgd, ddc_prev = lstm_gates_bwd(gd_r[0].astype(f32), decc_p,
                                        decc_r[0], ddh_total, c_ddc[:], d.d)
         dgd_c = dgd.astype(dtype)
@@ -483,28 +556,45 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
         s = jnp.sum(w_t * dw_total, axis=1, keepdims=True)
         de = w_t * (dw_total - s)                             # (B, T)
 
-        # ---- energies backward (feat rematerialized) ----
+        # ---- energies backward per tile (feat rematerialized) ----
         q = jnp.dot(atth_r[0], wq[:], preferred_element_type=f32)
-        cat = jnp.concatenate([w_p.astype(dtype), wcum_p.astype(dtype),
-                               q.astype(dtype)], axis=1)
-        m = jnp.dot(cat, wbig[:], preferred_element_type=f32)
-        feat = jnp.tanh(m + proc[:].astype(f32))
-        de_rep = jnp.concatenate([de] * d.datt, axis=1)       # (B, datt*T)
-        dfeat = de_rep * vrep[0]
-        dm = dfeat * (1.0 - feat * feat)
-        dm_c = dm.astype(dtype)
-        dcat = jnp.dot(dm_c, wbigt[:], preferred_element_type=f32)
-        dq = dcat[:, 2 * T:2 * T + d.datt]
+        cat[:, 2 * CS:2 * CS + d.datt] = q.astype(dtype)
+        acc_w[:] = jnp.zeros_like(acc_w)
+        acc_wc[:] = jnp.zeros_like(acc_wc)
+        dq = jnp.zeros((B, d.datt), f32)
+        for i in range(d.n_tiles):
+            cat[:, 0:W] = wp_s[:, i * TT:i * TT + W].astype(dtype)
+            cat[:, CS:CS + W] = wc_s[:, i * TT:i * TT + W].astype(dtype)
+            m = jnp.dot(cat[:], band[:], preferred_element_type=f32)
+            feat = jnp.tanh(
+                m + proc[:, i * d.ttd:(i + 1) * d.ttd].astype(f32))
+            de_rep = jnp.dot(de[:, i * TT:(i + 1) * TT].astype(dtype),
+                             rep1[:], preferred_element_type=f32)
+            dfeat = de_rep * vrep[0]
+            dm = dfeat * (1.0 - feat * feat)
+            # d_processed is NOT accumulated here (round 3): it equals
+            # the step-sum of the emitted d_M stack, folded into the
+            # post-pass's chunked read (attention_param_grads) — saves a
+            # (B, T*datt) fp32 VMEM accumulator that pushed the
+            # T_pad=192, B=128 compile over the VMEM budget.
+            dv_o[0:1, :] = dv_o[0:1, :] + jnp.sum(
+                feat * de_rep, axis=0, keepdims=True)
+            dm_c = dm.astype(dtype)
+            dm_o[0, :, i * d.ttd:(i + 1) * d.ttd] = dm_c
+            dcat = jnp.dot(dm_c, bandt[:], preferred_element_type=f32)
+            acc_w[:, i * TT:i * TT + W] = (
+                acc_w[:, i * TT:i * TT + W] + dcat[:, 0:W])
+            acc_wc[:, i * TT:i * TT + W] = (
+                acc_wc[:, i * TT:i * TT + W] + dcat[:, CS:CS + W])
+            dq = dq + dcat[:, 2 * CS:2 * CS + d.datt]
+        dq_o[0] = dq
         dah_attn = jnp.dot(dq.astype(dtype), wqt[:],
                            preferred_element_type=f32)
-        dproc_o[:] = dproc_o[:] + dm
-        dv_o[0:1, :] = dv_o[0:1, :] + jnp.sum(feat * de_rep, axis=0,
-                                              keepdims=True)
 
         # ---- attention LSTM backward ----
         dah_total = c_dah[:] + dxd[:, 0:d.a] + dah_attn
         if dropout:
-            dah_total = dah_total * katt_r[0]
+            dah_total = dah_total * (katt_r[0].astype(f32) * s_att)
         dga, dac_prev = lstm_gates_bwd(ga_r[0].astype(f32), attc_p,
                                        attc_r[0], dah_total, c_dac[:], d.a)
         dga_c = dga.astype(dtype)
@@ -515,30 +605,29 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
         dgd_o[0] = dgd_c
         dpre_o[0] = dxa[:, 0:d.p]
         dctx_o[0] = dctx_total.astype(dtype)
-        dq_o[0] = dq
-        dm_o[0] = dm_c
         c_dah[:] = dxa[:, d.p + d.e:d.k1]
         c_dac[:] = dac_prev
         c_ddh[:] = dxd[:, d.a + d.e:d.k2]
         c_ddc[:] = ddc_prev
-        c_dw[:] = dcat[:, 0:T]
-        c_dwc[:] = c_dwc[:] + dcat[:, T:2 * T]
+        c_dw[:] = acc_w[:, WOFF:WOFF + T]
+        c_dwc[:] = c_dwc[:] + acc_wc[:, WOFF:WOFF + T]
         c_dctx[:] = dxa[:, d.p:d.p + d.e]
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "dropout",
-                                             "interpret"))
-def _bwd_scan_call(wta, wtd, wq, wqt, wbig, wbigt, vrep, proc_flat,
+@functools.partial(jax.jit, static_argnames=("dims", "dropout", "p_att",
+                                             "p_dec", "interpret"))
+def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
                    mem_flat, ga, gd, atth, attc, decc, w, wcum_p,
                    ddh, dctx_out, dalign, katt, kdec,
-                   dims: ScanDims, dropout: bool, interpret: bool):
+                   dims: ScanDims, dropout: bool, p_att: float,
+                   p_dec: float, interpret: bool):
     d = dims
     T_steps, B, _ = ga.shape
     dtype = jnp.bfloat16
     f32 = jnp.float32
-    kern = _make_bwd_kernel(d, B, T_steps, dropout, dtype)
+    kern = _make_bwd_kernel(d, B, T_steps, dropout, p_att, p_dec, dtype)
 
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
@@ -555,7 +644,7 @@ def _bwd_scan_call(wta, wtd, wq, wqt, wbig, wbigt, vrep, proc_flat,
         return pl.BlockSpec((1,) + shape, imap, memory_space=pltpu.VMEM)
 
     in_specs = [const(x.shape) for x in
-                (wta, wtd, wq, wqt, wbig, wbigt, vrep, proc_flat,
+                (wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
                  mem_flat)]
     in_specs += [rev((B, 4 * d.a)), rev((B, 4 * d.d)), rev((B, d.a)),
                  rev((B, d.a)), rev_prev((B, d.a)),
@@ -563,9 +652,9 @@ def _bwd_scan_call(wta, wtd, wq, wqt, wbig, wbigt, vrep, proc_flat,
                  rev((B, d.t_pad)), rev_prev((B, d.t_pad)),
                  rev((B, d.t_pad)),
                  rev((B, d.d)), rev((B, d.e)), rev((B, d.t_pad))]
-    inputs = [wta, wtd, wq, wqt, wbig, wbigt, vrep, proc_flat, mem_flat,
-              ga, gd, atth, attc, attc, decc, decc, w, w, wcum_p,
-              ddh, dctx_out, dalign]
+    inputs = [wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
+              mem_flat, ga, gd, atth, attc, attc, decc, decc, w, w,
+              wcum_p, ddh, dctx_out, dalign]
     if dropout:
         in_specs += [rev((B, d.a)), rev((B, d.d))]
         inputs += [katt, kdec]
@@ -576,18 +665,23 @@ def _bwd_scan_call(wta, wtd, wq, wqt, wbig, wbigt, vrep, proc_flat,
         jax.ShapeDtypeStruct((T_steps, B, d.p), f32),          # d_prenet
         jax.ShapeDtypeStruct((T_steps, B, d.e), dtype),        # d_ctx
         jax.ShapeDtypeStruct((T_steps, B, d.datt), f32),       # d_q
-        jax.ShapeDtypeStruct((T_steps, B, d.datt * d.t_pad), dtype),  # d_M
-        jax.ShapeDtypeStruct((B, d.datt * d.t_pad), f32),      # d_proc
-        jax.ShapeDtypeStruct((8, d.datt * d.t_pad), f32),      # d_v acc
+        jax.ShapeDtypeStruct((T_steps, B, d.t_pad * d.datt),
+                             dtype),                           # d_M
+        jax.ShapeDtypeStruct((8, d.ttd), f32),                 # d_v acc
     ]
     out_specs = [rev(o.shape[1:]) for o in outs[:6]]
-    out_specs += [const(outs[6].shape), const(outs[7].shape)]
+    out_specs += [const(outs[6].shape)]
 
     scratch = [
         pltpu.VMEM((B, d.a), f32), pltpu.VMEM((B, d.a), f32),
         pltpu.VMEM((B, d.d), f32), pltpu.VMEM((B, d.d), f32),
         pltpu.VMEM((B, d.t_pad), f32), pltpu.VMEM((B, d.t_pad), f32),
         pltpu.VMEM((B, d.e), f32),
+        pltpu.VMEM((B, d.cat_w), dtype),
+        pltpu.VMEM((B, d.t_pad + 2 * WOFF), f32),
+        pltpu.VMEM((B, d.t_pad + 2 * WOFF), f32),
+        pltpu.VMEM((B, d.t_pad + 2 * WOFF), f32),
+        pltpu.VMEM((B, d.t_pad + 2 * WOFF), f32),
     ]
     return pl.pallas_call(
         kern,
@@ -609,8 +703,9 @@ def backward_chain(core_params, res, memory, processed, mask, scan_rng,
     """Run the fused backward chain. ``res`` is the _Residuals tuple of
     time-major stacks from the forward. Cotangents are (T, B, ...)
     time-major. Returns (dga_stack, dgd_stack, d_prenet, dctx_stack,
-    d_attp) where d_attp is the attention parameter gradient subtree —
-    everything decoder_vjp.bwd needs beyond its own hoisted LSTM einsums.
+    d_processed, d_attp) where d_attp is the attention parameter gradient
+    subtree — everything decoder_vjp.bwd needs beyond its own hoisted
+    LSTM einsums.
     """
     dims = scan_dims(cfg, memory.shape[1])
     if interpret is None:
@@ -622,7 +717,7 @@ def backward_chain(core_params, res, memory, processed, mask, scan_rng,
     dtype = jnp.bfloat16
     f32 = jnp.float32
 
-    wta, wtd, wq, wqt, wbig, wbigt, vrep = pack_bwd_weights(
+    wta, wtd, wq, wqt, band, bandt, rep1, vrep = pack_bwd_weights(
         core_params, dims, dtype)
     mem_flat, proc_flat, _ = pack_batch(memory, processed, mask, dims,
                                         dtype)
@@ -632,25 +727,25 @@ def backward_chain(core_params, res, memory, processed, mask, scan_rng,
     dalign = jnp.pad(d_align_out.astype(f32), padT)
 
     if dropout_active:
-        katt, kdec = keep_scale_masks(scan_rng, T_steps, B, dims,
-                                      cfg.p_attention_dropout,
-                                      cfg.p_decoder_dropout)
+        katt, kdec = keep_masks(scan_rng, T_steps, B, dims,
+                                cfg.p_attention_dropout,
+                                cfg.p_decoder_dropout)
     else:
         katt = kdec = jnp.zeros((1,), f32)
 
     outs = _bwd_scan_call(
-        wta, wtd, wq, wqt, wbig, wbigt, vrep, proc_flat, mem_flat,
+        wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat, mem_flat,
         ga.astype(dtype), gd.astype(dtype), att_h.astype(dtype),
         att_c.astype(f32), dec_c.astype(f32), w_pad, wcum_prev,
         d_dec_h_out.astype(f32), d_ctx_out.astype(f32), dalign,
-        katt, kdec, dims, dropout_active, interpret)
-    (dga_st, dgd_st, dpre_st, dctx_st, dq_st, dm_st, dproc_acc,
-     dv_acc) = outs
+        katt, kdec, dims, dropout_active, cfg.p_attention_dropout,
+        cfg.p_decoder_dropout, interpret)
+    (dga_st, dgd_st, dpre_st, dctx_st, dq_st, dm_st, dv_acc) = outs
 
-    d_processed = dproc_acc.reshape(B, dims.datt, T).transpose(
-        0, 2, 1)[:, :t_in].astype(processed.dtype)
-    d_attp = attention_param_grads(
+    d_attp, d_proc_flat = attention_param_grads(
         core_params, dims, att_h, w_pad, wcum_prev, dq_st, dm_st, dv_acc)
+    d_processed = d_proc_flat.reshape(B, T, dims.datt)[:, :t_in].astype(
+        processed.dtype)
     return dga_st, dgd_st, dpre_st, dctx_st, d_processed, d_attp
 
 
@@ -659,51 +754,62 @@ def attention_param_grads(core_params, dims: ScanDims, att_h_stack,
                           dv_acc):
     """Hoisted attention parameter gradients from the emitted stacks.
 
+    Returns (attention-params gradient subtree, flat d_processed).
+
     d_Wq from (att_h, d_q); d_v from the in-kernel accumulator; the
-    location conv/dense gradients from the d_M stack via the chain
-    d_loc -> (d_F, F) with the conv expressed over the T lane dim —
-    chunked over decoder steps to bound the (T*B, T_in, F) transients.
+    location conv/dense gradients from the t-major d_M stack via the
+    chain d_loc -> (d_F, F) with the conv expressed over the T dim —
+    chunked over decoder steps to bound the (x, T, nF) transients.
+    d_processed (= the step-sum of d_M) rides the same chunked read
+    instead of occupying a (B, T*datt) fp32 VMEM accumulator in the
+    backward kernel.
     """
     from jax import lax
     T = dims.t_pad
     ks = dims.ks
     pad = (ks - 1) // 2
     f32 = jnp.float32
+    bf16 = jnp.bfloat16
     T_steps, B, _ = att_h_stack.shape
     att = core_params["attention"]
     ck = att["location_conv"]["kernel"]          # (ks, 2, F)
     ld = att["location_dense"]["kernel"]         # (F, datt)
     nF = ck.shape[2]
 
-    dWq = jnp.einsum("tbh,tbq->hq", att_h_stack.astype(jnp.bfloat16),
-                     dq_st.astype(jnp.bfloat16),
-                     preferred_element_type=f32)
-    d_v = jnp.sum(dv_acc[0].reshape(dims.datt, T), axis=1)[:, None]
+    dWq = jnp.einsum("tbh,tbq->hq", att_h_stack.astype(bf16),
+                     dq_st.astype(bf16), preferred_element_type=f32)
+    # dv_acc row 0 holds sum_{t_step,b,tile} feat * de_rep flattened
+    # (TT, datt) t-major; summing the tile positions gives d_v
+    d_v = jnp.sum(dv_acc[0].reshape(TT, dims.datt), axis=0)[:, None]
 
     # w_prev: value at t-1 (zero at t=0)
     w_prev = jnp.concatenate(
         [jnp.zeros_like(w_prev_unshifted[:1]), w_prev_unshifted[:-1]],
         axis=0)
 
-    n_chunks = max(1, T_steps // 64)
-    csz = T_steps // n_chunks
+    # chunked over decoder steps; the last chunk may be short when
+    # T_steps is not a multiple of the chunk size (each slice length is
+    # still static under jit — the loop is a Python loop over slices)
+    csz = T_steps if T_steps < 128 else 64
     d_ld = jnp.zeros((nF, dims.datt), f32)
     d_ck = jnp.zeros((ks, 2, nF), f32)
-    for c in range(n_chunks):
-        sl = slice(c * csz, (c + 1) * csz)
-        x = csz * B
-        dm = dm_st[sl].reshape(x, dims.datt, T)            # (x, datt, T)
+    d_proc = jnp.zeros((B, T * dims.datt), f32)
+    for start in range(0, T_steps, csz):
+        sl = slice(start, min(start + csz, T_steps))
+        x = (sl.stop - sl.start) * B
+        d_proc = d_proc + jnp.sum(dm_st[sl].astype(f32), axis=0)
+        dm = dm_st[sl].reshape(x, T, dims.datt)            # (x, T, datt)
         wcat = jnp.stack([w_prev[sl].reshape(x, T),
                           wcum_prev[sl].reshape(x, T)],
-                         axis=-1).astype(jnp.bfloat16)     # (x, T, 2)
+                         axis=-1).astype(bf16)             # (x, T, 2)
         F = lax.conv_general_dilated(
-            wcat, ck.astype(jnp.bfloat16), (1,), [(pad, pad)],
+            wcat, ck.astype(bf16), (1,), [(pad, pad)],
             dimension_numbers=("NHC", "HIO", "NHC"),
-            preferred_element_type=jnp.bfloat16)           # (x, T, nF)
-        d_ld = d_ld + jnp.einsum("xtf,xdt->fd", F,
-                                 dm, preferred_element_type=f32)
-        dF = jnp.einsum("xdt,fd->xtf", dm, ld.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.bfloat16)
+            preferred_element_type=bf16)                   # (x, T, nF)
+        d_ld = d_ld + jnp.einsum("xtf,xtd->fd", F, dm,
+                                 preferred_element_type=f32)
+        dF = jnp.einsum("xtd,fd->xtf", dm, ld.astype(bf16),
+                        preferred_element_type=bf16)
         wcat_pad = jnp.pad(wcat, ((0, 0), (pad, pad), (0, 0)))
         for k in range(ks):
             d_ck = d_ck.at[k].add(jnp.einsum(
@@ -715,4 +821,4 @@ def attention_param_grads(core_params, dims: ScanDims, att_h_stack,
         "v": {"kernel": d_v},
         "location_conv": {"kernel": d_ck},
         "location_dense": {"kernel": d_ld},
-    }
+    }, d_proc

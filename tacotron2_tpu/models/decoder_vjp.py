@@ -71,6 +71,27 @@ class _Residuals(NamedTuple):
     w: jnp.ndarray        # (T, B, T_in) fp32 attention weights
 
 
+_warned_fallback = set()
+
+
+def _warn_fallback(cfg, t_in: int, batch: int) -> None:
+    """One-time (per shape) notice that the requested Pallas training-scan
+    kernel fell back to the XLA scan — the silent-fallback design makes
+    the ~10-15% throughput difference otherwise hard to notice
+    (ADVICE r2). Trace-time only: runs during jit tracing, never per step.
+    """
+    key = (t_in, batch, cfg.compute_dtype)
+    if key in _warned_fallback:
+        return
+    _warned_fallback.add(key)
+    import logging
+    logging.getLogger(__name__).warning(
+        "pallas_train_scan=True but the kernel envelope rejects "
+        "T_in=%d, batch=%d, compute_dtype=%s (see kernels/train_scan."
+        "supported); falling back to the XLA scan for this shape.",
+        t_in, batch, cfg.compute_dtype)
+
+
 def _shift(stack: jnp.ndarray) -> jnp.ndarray:
     """stack[t] -> value at t-1, with the (all-zero) initial state at t=0."""
     zero = jnp.zeros_like(stack[:1])
@@ -190,6 +211,7 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
                     dp, prenet_steps, memory, processed, mask, scan_rng,
                     cfg, dropout_active)
                 return (_Residuals(*outs),)
+            _warn_fallback(cfg, memory.shape[1], prenet_steps.shape[1])
         return _forward_xla(dp, prenet_steps, memory, processed, mask,
                             scan_rng)
 

@@ -112,12 +112,58 @@ def test_grad_parity():
 
     ref = loss_fn(small_cfg(pallas_train_scan=False))
     got = loss_fn(small_cfg(pallas_train_scan=True))
-    flat_r, _ = jax.tree.flatten(ref)
-    flat_g, _ = jax.tree.flatten(got)
+    flat_r, tree_r = jax.tree.flatten(ref)
+    flat_g, tree_g = jax.tree.flatten(got)
+    assert tree_r == tree_g, (tree_r, tree_g)
+    assert [r.shape for r in flat_r] == [g.shape for g in flat_g]
     for r, g in zip(flat_r, flat_g):
         r, g = np.asarray(r, np.float32), np.asarray(g, np.float32)
         scale = max(np.abs(r).max(), 1e-3)
         np.testing.assert_allclose(g / scale, r / scale, atol=8e-2)
+
+
+def test_long_text_parity():
+    """T_in > 128 (the 192-symbol bucket) runs through the kernels'
+    multi-tile path — round 3's headline capability. Forward AND
+    gradient parity vs the XLA scan at T_in=150 (t_pad=192, 3 tiles)."""
+    global T_IN
+    from tacotron2_tpu.kernels import train_scan
+    old_t = T_IN
+    T_IN = 150
+    try:
+        assert train_scan.supported(small_cfg(), T_IN, B)
+        rng = jax.random.PRNGKey(7)
+        ref = run(small_cfg(pallas_train_scan=False), True, rng)
+        got = run(small_cfg(pallas_train_scan=True), True, rng)
+        for r, g, name in zip(ref, got, ("dec_h", "ctx", "align")):
+            r, g = np.asarray(r, np.float32), np.asarray(g, np.float32)
+            assert g.shape == r.shape, name
+            np.testing.assert_allclose(g, r, atol=5e-2, rtol=0.1,
+                                       err_msg=name)
+
+        def loss_fn(cfg):
+            core, prenet, memory, proc, mask = make_inputs(cfg)
+
+            def f(core, prenet, memory, proc):
+                h, c, w = decoder_vjp.core_scan(core, prenet, memory,
+                                                proc, mask, rng, cfg,
+                                                True)
+                return (jnp.sum(h * 1e-2) + jnp.sum(c * 1e-2)
+                        + jnp.sum(w * 1e-2))
+            return jax.grad(f, argnums=(0, 1, 2, 3))(core, prenet,
+                                                     memory, proc)
+
+        gref = loss_fn(small_cfg(pallas_train_scan=False))
+        ggot = loss_fn(small_cfg(pallas_train_scan=True))
+        flat_r, tree_r = jax.tree.flatten(gref)
+        flat_g, tree_g = jax.tree.flatten(ggot)
+        assert tree_r == tree_g
+        for r, g in zip(flat_r, flat_g):
+            r, g = np.asarray(r, np.float32), np.asarray(g, np.float32)
+            scale = max(np.abs(r).max(), 1e-3)
+            np.testing.assert_allclose(g / scale, r / scale, atol=8e-2)
+    finally:
+        T_IN = old_t
 
 
 def test_supported_envelope():
@@ -125,9 +171,14 @@ def test_supported_envelope():
     cfg = small_cfg()
     assert train_scan.supported(cfg, 128, 128)
     assert train_scan.supported(cfg, 24, 8)
-    assert not train_scan.supported(cfg, 160, 128)     # T_in > 128
+    assert train_scan.supported(cfg, 192, 128)         # r3: 192 bucket
+    assert train_scan.supported(cfg, 256, 64)          # r3: full 256
+    assert not train_scan.supported(cfg, 256, 128)     # VMEM: B>64 @ 256
+    assert not train_scan.supported(cfg, 300, 64)      # T_in > 256
     assert not train_scan.supported(cfg, 128, 12)      # B % 8
     assert not train_scan.supported(cfg, 128, 256)     # B > 128: VMEM
+    # per-shard view under a dp mesh (ADVICE r2): global 256 over dp=2
+    assert train_scan.supported(cfg.replace(mesh_shape=(2, 1)), 128, 256)
     assert not train_scan.supported(cfg.replace(compute_dtype="float32"),
                                     128, 128)
     assert not train_scan.supported(cfg.replace(attention_dim=96), 128, 128)
@@ -171,6 +222,63 @@ def test_grad_error_vs_fp32_ground_truth():
             err_ker / scale, err_xla / scale)
 
 
+def test_attention_param_grads_nondivisible_steps():
+    """T_steps >= 128 and not a multiple of the chunk size: the chunked
+    conv-correlation post-pass must cover the tail steps (a round-2 bug
+    silently dropped T_steps - n_chunks*csz steps)."""
+    from tacotron2_tpu.kernels.train_scan import (ScanDims, TT,
+                                                  attention_param_grads)
+    r = np.random.RandomState(0)
+    T_steps, Bs, T, datt, nF, ks = 130, 2, 16, 8, 4, 5
+    dims = ScanDims(p=8, e=8, a=8, d=8, datt=datt, ks=ks, t_pad=T,
+                    k1=24, k2=24)
+    core = {"attention": {
+        "location_conv": {"kernel": jnp.asarray(
+            r.randn(ks, 2, nF), jnp.float32)},
+        "location_dense": {"kernel": jnp.asarray(
+            r.randn(nF, datt), jnp.float32)},
+    }}
+    att_h = jnp.asarray(r.randn(T_steps, Bs, 8), jnp.float32)
+    w_unshifted = jnp.asarray(r.rand(T_steps, Bs, T), jnp.float32)
+    wcum = jnp.asarray(r.rand(T_steps, Bs, T), jnp.float32)
+    dq = jnp.asarray(r.randn(T_steps, Bs, datt), jnp.float32)
+    dm = jnp.asarray(r.randn(T_steps, Bs, T * datt), jnp.float32)
+    dv = jnp.zeros((8, TT * datt), jnp.float32)
+    got, got_dproc = attention_param_grads(core, dims, att_h, w_unshifted,
+                                           wcum, dq, dm, dv)
+    ref_dproc = np.asarray(dm).sum(axis=0)
+    np.testing.assert_allclose(np.asarray(got_dproc), ref_dproc,
+                               rtol=1e-5,
+                               atol=1e-5 * np.abs(ref_dproc).max())
+
+    # dense numpy reference over ALL steps (no chunking); dm is t-major
+    pad = (ks - 1) // 2
+    ck = np.asarray(core["attention"]["location_conv"]["kernel"])
+    ld = np.asarray(core["attention"]["location_dense"]["kernel"])
+    w_prev = np.concatenate([np.zeros((1, Bs, T), np.float32),
+                             np.asarray(w_unshifted)[:-1]], axis=0)
+    x = T_steps * Bs
+    wcat = np.stack([w_prev.reshape(x, T),
+                     np.asarray(wcum).reshape(x, T)], axis=-1)
+    wcat_pad = np.pad(wcat, ((0, 0), (pad, pad), (0, 0)))
+    F = np.zeros((x, T, nF), np.float32)
+    for k in range(ks):
+        F += np.einsum("xtc,cf->xtf", wcat_pad[:, k:k + T], ck[k])
+    dm3 = np.asarray(dm).reshape(x, T, datt)
+    ref_ld = np.einsum("xtf,xtd->fd", F, dm3)
+    dF = np.einsum("xtd,fd->xtf", dm3, ld)
+    ref_ck = np.stack([np.einsum("xtc,xtf->cf", wcat_pad[:, k:k + T], dF)
+                       for k in range(ks)])
+    # the kernel path's einsums run bf16-in/fp32-accum; tolerate bf16
+    # round-off scaled by the gradient magnitude (cancellation near 0)
+    np.testing.assert_allclose(np.asarray(got["location_dense"]["kernel"]),
+                               ref_ld, rtol=2e-2,
+                               atol=2e-2 * np.abs(ref_ld).max())
+    np.testing.assert_allclose(np.asarray(got["location_conv"]["kernel"]),
+                               ref_ck, rtol=2e-2,
+                               atol=2e-2 * np.abs(ref_ck).max())
+
+
 def test_sharded_step_with_kernel_8dev():
     """The kernel path composes with the dp-sharded pjit train step on
     the 8-virtual-device mesh (interpret lowering — validates sharded
@@ -181,12 +289,13 @@ def test_sharded_step_with_kernel_8dev():
     from __graft_entry__ import _make_batch
     import jax
 
-    cfg = small_cfg(batch_size=16, pallas_train_scan=True,
+    # per-shard batch must satisfy the envelope: 64 over dp=8 -> 8/shard
+    cfg = small_cfg(batch_size=64, pallas_train_scan=True,
                     mesh_shape=(8, 1))
-    assert train_scan.supported(cfg, 24, 16)
+    assert train_scan.supported(cfg, 24, 64)
     mesh = create_mesh((8, 1))
     state = create_sharded_state(jax.random.PRNGKey(0), cfg, mesh)
     step = make_train_step(cfg, mesh, state)
-    batch = _make_batch(cfg, B=16, T_in=24, T_out=32)
+    batch = _make_batch(cfg, B=64, T_in=24, T_out=32)
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics.loss))
