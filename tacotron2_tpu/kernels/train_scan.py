@@ -148,12 +148,17 @@ def supported(cfg: Tacotron2Config, t_in: int, batch: int) -> bool:
     b_shard = batch // dp if (dp > 1 and batch % dp == 0) else batch
     # VMEM bound: the backward kernel's resident set (both band
     # orientations + memory + the transposed LSTM weights) exceeds VMEM
-    # at B=128 x T_pad=256; B <= 64 leaves room for the full 256.
-    t_cap = 256 if b_shard <= 64 else 192
+    # at B_tile=128 x T_pad=256; B <= 64 leaves room for the full 256.
+    # batch > 128 runs as ceil(B/128) batch tiles over the grid's leading
+    # dim (each tile a full sequential chain, weights fetched once), so
+    # the per-tile bound is what matters; tiles must be uniform.
+    b_tile = b_shard if b_shard <= 128 else 128
+    uniform = b_shard <= 128 or b_shard % 128 == 0
+    t_cap = 256 if b_tile <= 64 else 192
     return (cfg.jax_compute_dtype == jnp.bfloat16
             and cfg.decoder_interleave <= 1
             and aligned and dims.t_pad <= t_cap
-            and b_shard % 8 == 0 and b_shard <= 128
+            and b_shard % 8 == 0 and b_shard <= 512 and uniform
             and dims.ks % 2 == 1 and dims.ks <= 2 * WOFF + 1)
 
 
@@ -276,7 +281,7 @@ def _make_kernel(dims: ScanDims, B: int, dropout: bool,
         (x1, x2, cat, h1s, c1s, h2s, c2s, wsp, wcsp, ctxs, efull) = \
             (next(it) for _ in range(11))
 
-        t = pl.program_id(0)
+        t = pl.program_id(1)  # grid = (batch_tiles, T_steps)
 
         @pl.when(t == 0)
         def _():
@@ -358,19 +363,26 @@ def _scan_call(w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat, emask,
                p_att: float, p_dec: float, interpret: bool):
     d = dims
     T_steps, B, _ = prenet_steps.shape
+    Bt = B if B <= 128 else 128   # batch tile rows (uniform tiles)
+    nb = B // Bt
     dtype = jnp.bfloat16
     f32 = jnp.float32
-    kern = _make_kernel(d, B, dropout, p_att, p_dec, dtype)
+    kern = _make_kernel(d, Bt, dropout, p_att, p_dec, dtype)
 
     const = lambda shape: pl.BlockSpec(
-        shape, lambda t: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+        shape, lambda b, t: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    bconst = lambda shape: pl.BlockSpec(
+        (Bt,) + shape[1:], lambda b, t: (b,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM)
     stream = lambda shape: pl.BlockSpec(
-        (1,) + shape, lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+        (1, Bt) + shape[1:], lambda b, t: (t, b, 0),
+        memory_space=pltpu.VMEM)
 
     in_specs = [const(w1.shape), const(b1.shape), const(w2.shape),
                 const(b2.shape), const(wq.shape), const(band.shape),
-                const(selv.shape), const(proc_flat.shape),
-                const(mem_flat.shape), const(emask.shape),
+                const(selv.shape), bconst(proc_flat.shape),
+                bconst(mem_flat.shape), bconst(emask.shape),
                 stream((B, d.p))]
     inputs = [w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat, emask,
               prenet_steps]
@@ -391,18 +403,18 @@ def _scan_call(w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat, emask,
     out_specs = [stream(o.shape[1:]) for o in outs]
 
     scratch = [
-        pltpu.VMEM((B, d.k1), dtype), pltpu.VMEM((B, d.k2), dtype),
-        pltpu.VMEM((B, d.cat_w), dtype),
-        pltpu.VMEM((B, d.a), f32), pltpu.VMEM((B, d.a), f32),
-        pltpu.VMEM((B, d.d), f32), pltpu.VMEM((B, d.d), f32),
-        pltpu.VMEM((B, d.t_pad + 2 * WOFF), f32),
-        pltpu.VMEM((B, d.t_pad + 2 * WOFF), f32),
-        pltpu.VMEM((B, d.e), f32),
-        pltpu.VMEM((B, d.t_pad), f32),
+        pltpu.VMEM((Bt, d.k1), dtype), pltpu.VMEM((Bt, d.k2), dtype),
+        pltpu.VMEM((Bt, d.cat_w), dtype),
+        pltpu.VMEM((Bt, d.a), f32), pltpu.VMEM((Bt, d.a), f32),
+        pltpu.VMEM((Bt, d.d), f32), pltpu.VMEM((Bt, d.d), f32),
+        pltpu.VMEM((Bt, d.t_pad + 2 * WOFF), f32),
+        pltpu.VMEM((Bt, d.t_pad + 2 * WOFF), f32),
+        pltpu.VMEM((Bt, d.e), f32),
+        pltpu.VMEM((Bt, d.t_pad), f32),
     ]
     return pl.pallas_call(
         kern,
-        grid=(T_steps,),
+        grid=(nb, T_steps),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=outs,
@@ -506,7 +518,7 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
         (c_dah, c_dac, c_ddh, c_ddc, c_dw, c_dwc, c_dctx,
          cat, wp_s, wc_s, acc_w, acc_wc) = (next(it) for _ in range(12))
 
-        pid = pl.program_id(0)
+        pid = pl.program_id(1)      # grid = (batch_tiles, T_steps)
         first = pid == 0            # processes t = nsteps-1 (chain start)
         last = pid == nsteps - 1    # processes t = 0
 
@@ -519,10 +531,15 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
             c_dw[:] = jnp.zeros_like(c_dw)
             c_dwc[:] = jnp.zeros_like(c_dwc)
             c_dctx[:] = jnp.zeros_like(c_dctx)
-            dv_o[:] = jnp.zeros_like(dv_o)
             cat[:] = jnp.zeros_like(cat)
             wp_s[:] = jnp.zeros_like(wp_s)   # margins stay zero
             wc_s[:] = jnp.zeros_like(wc_s)
+
+        # the d_v accumulator is shared across batch tiles: zero it only
+        # once, at the very first grid iteration
+        @pl.when(jnp.logical_and(first, pl.program_id(0) == 0))
+        def _():
+            dv_o[:] = jnp.zeros_like(dv_o)
 
         # previous-step saved state; ALL-ZERO initial state at t=0
         zmask = jnp.where(last, 0.0, 1.0)
@@ -625,27 +642,34 @@ def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
                    p_dec: float, interpret: bool):
     d = dims
     T_steps, B, _ = ga.shape
+    Bt = B if B <= 128 else 128   # batch tile rows (uniform tiles)
+    nb = B // Bt
     dtype = jnp.bfloat16
     f32 = jnp.float32
-    kern = _make_bwd_kernel(d, B, T_steps, dropout, p_att, p_dec, dtype)
+    kern = _make_bwd_kernel(d, Bt, T_steps, dropout, p_att, p_dec, dtype)
 
     const = lambda shape: pl.BlockSpec(
-        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+        shape, lambda b, t: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    bconst = lambda shape: pl.BlockSpec(
+        (Bt,) + shape[1:], lambda b, t: (b,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM)
 
     def rev(shape):
-        return pl.BlockSpec((1,) + shape,
-                            lambda i: (T_steps - 1 - i, 0, 0),
+        return pl.BlockSpec((1, Bt) + shape[1:],
+                            lambda b, t: (T_steps - 1 - t, b, 0),
                             memory_space=pltpu.VMEM)
 
     def rev_prev(shape):
-        def imap(i):
-            idx = T_steps - 2 - i
-            return (idx * (idx >= 0), 0, 0)
-        return pl.BlockSpec((1,) + shape, imap, memory_space=pltpu.VMEM)
+        def imap(b, t):
+            idx = T_steps - 2 - t
+            return (idx * (idx >= 0), b, 0)
+        return pl.BlockSpec((1, Bt) + shape[1:], imap,
+                            memory_space=pltpu.VMEM)
 
     in_specs = [const(x.shape) for x in
-                (wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
-                 mem_flat)]
+                (wta, wtd, wq, wqt, band, bandt, rep1, vrep)]
+    in_specs += [bconst(proc_flat.shape), bconst(mem_flat.shape)]
     in_specs += [rev((B, 4 * d.a)), rev((B, 4 * d.d)), rev((B, d.a)),
                  rev((B, d.a)), rev_prev((B, d.a)),
                  rev((B, d.d)), rev_prev((B, d.d)),
@@ -673,19 +697,19 @@ def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
     out_specs += [const(outs[6].shape)]
 
     scratch = [
-        pltpu.VMEM((B, d.a), f32), pltpu.VMEM((B, d.a), f32),
-        pltpu.VMEM((B, d.d), f32), pltpu.VMEM((B, d.d), f32),
-        pltpu.VMEM((B, d.t_pad), f32), pltpu.VMEM((B, d.t_pad), f32),
-        pltpu.VMEM((B, d.e), f32),
-        pltpu.VMEM((B, d.cat_w), dtype),
-        pltpu.VMEM((B, d.t_pad + 2 * WOFF), f32),
-        pltpu.VMEM((B, d.t_pad + 2 * WOFF), f32),
-        pltpu.VMEM((B, d.t_pad + 2 * WOFF), f32),
-        pltpu.VMEM((B, d.t_pad + 2 * WOFF), f32),
+        pltpu.VMEM((Bt, d.a), f32), pltpu.VMEM((Bt, d.a), f32),
+        pltpu.VMEM((Bt, d.d), f32), pltpu.VMEM((Bt, d.d), f32),
+        pltpu.VMEM((Bt, d.t_pad), f32), pltpu.VMEM((Bt, d.t_pad), f32),
+        pltpu.VMEM((Bt, d.e), f32),
+        pltpu.VMEM((Bt, d.cat_w), dtype),
+        pltpu.VMEM((Bt, d.t_pad + 2 * WOFF), f32),
+        pltpu.VMEM((Bt, d.t_pad + 2 * WOFF), f32),
+        pltpu.VMEM((Bt, d.t_pad + 2 * WOFF), f32),
+        pltpu.VMEM((Bt, d.t_pad + 2 * WOFF), f32),
     ]
     return pl.pallas_call(
         kern,
-        grid=(T_steps,),
+        grid=(nb, T_steps),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=outs,
