@@ -183,16 +183,21 @@ def pack_decoder_params(params, cfg: Tacotron2Config,
         wpe=as_dev(wpe), bpe=jnp.asarray(bpe))
 
 
-def _make_kernel(dims: FusedDims, chunk: int, gate_logit: float, dtype):
+def _make_kernel(dims: FusedDims, chunk: int, gate_logit: float, dtype,
+                 dropout: bool):
     d = dims
     pad = (d.ks - 1) // 2
 
-    def kernel(pre1, pre2, w1, b1, wq, lock, v, proc, mem, maskc,
-               w2, b2, wpe, bpe,
-               h1i, c1i, h2i, c2i, atti, ctxi, previ, flagsi,
-               frames_o, align_o,
-               h1o, c1o, h2o, c2o, atto, ctxo, prevo, flagso,
-               x1, x2, x3):
+    def kernel(*refs):
+        it = iter(refs)
+        (pre1, pre2, w1, b1, wq, lock, v, proc, mem, maskc,
+         w2, b2, wpe, bpe) = (next(it) for _ in range(14))
+        kp1_r = next(it) if dropout else None
+        kp2_r = next(it) if dropout else None
+        (h1i, c1i, h2i, c2i, atti, ctxi, previ, flagsi,
+         frames_o, align_o,
+         h1o, c1o, h2o, c2o, atto, ctxo, prevo, flagso,
+         x1, x2, x3) = (next(it) for _ in range(21))
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -214,12 +219,20 @@ def _make_kernel(dims: FusedDims, chunk: int, gate_logit: float, dtype):
         t0 = flagso[0, 2]
         fin_b = fin > 0
 
-        # ---- prenet (deterministic; 2x dense+relu, no bias) ----
+        # ---- prenet (2x dense+relu, no bias; optional streamed dropout
+        # keep masks — the reference keeps prenet dropout ACTIVE at
+        # inference, model.py:99, and the masks are precomputed outside
+        # with the exact fold_in(fold_in(rng, t), layer) derivation of
+        # the XLA path, so the pattern is bit-identical) ----
         pm = prevo[:, 0:d.n].astype(dtype)
         a1 = jax.nn.relu(jnp.dot(pm, pre1[:],
                                  preferred_element_type=jnp.float32))
+        if dropout:
+            a1 = a1 * (kp1_r[0] * 2.0)  # p=0.5: 1/(1-p) == exactly 2
         a2 = jax.nn.relu(jnp.dot(a1.astype(dtype), pre2[:],
                                  preferred_element_type=jnp.float32))
+        if dropout:
+            a2 = a2 * (kp2_r[0] * 2.0)
 
         # ---- attention LSTM ----
         x1[:, 0:d.p] = a2
@@ -307,12 +320,12 @@ def _make_kernel(dims: FusedDims, chunk: int, gate_logit: float, dtype):
 
 @functools.partial(jax.jit, static_argnames=("dims", "chunk_steps",
                                               "gate_logit", "interpret",
-                                              "dtype"))
+                                              "dtype", "dropout"))
 def _fused_chunk_call(fp: FusedDecoderParams, memory, processed, maskc,
-                      h1, c1, h2, c2, attmat, ctx, prev, flags,
+                      h1, c1, h2, c2, attmat, ctx, prev, flags, kp1, kp2,
                       dims: FusedDims, chunk_steps: int, gate_logit: float,
-                      interpret: bool, dtype):
-    kern = _make_kernel(dims, chunk_steps, gate_logit, dtype)
+                      interpret: bool, dtype, dropout: bool):
+    kern = _make_kernel(dims, chunk_steps, gate_logit, dtype, dropout)
     d = dims
 
     const = lambda shape: pl.BlockSpec(shape, lambda t: tuple(
@@ -347,10 +360,20 @@ def _fused_chunk_call(fp: FusedDecoderParams, memory, processed, maskc,
         const(processed.shape), const(memory.shape), const(maskc.shape),
         const(fp.w2.shape), const(fp.b2.shape),
         const(fp.wpe.shape), const(fp.bpe.shape),
+    ]
+    inputs = [fp.pre1, fp.pre2, fp.w1, fp.b1, fp.wq, fp.lock, fp.v,
+              processed, memory, maskc, fp.w2, fp.b2, fp.wpe, fp.bpe]
+    if dropout:
+        mask_spec = pl.BlockSpec((1, 8, dims.p), lambda t: (t, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs += [mask_spec, mask_spec]
+        inputs += [kp1, kp2]
+    in_specs += [
         const(h1.shape), const(c1.shape), const(h2.shape), const(c2.shape),
         const(attmat.shape), const(ctx.shape), const(prev.shape),
         const(flags.shape),
     ]
+    inputs += [h1, c1, h2, c2, attmat, ctx, prev, flags]
     bytes_resident = sum(int(np.prod(a.shape)) * a.dtype.itemsize
                          for a in (fp.w1, fp.w2, fp.wpe, fp.pre1, fp.pre2,
                                    fp.wq, fp.lock, fp.v, memory, processed))
@@ -369,19 +392,40 @@ def _fused_chunk_call(fp: FusedDecoderParams, memory, processed, maskc,
             vmem_limit_bytes=min(2 * bytes_resident + 8 * 2 ** 20,
                                  120 * 2 ** 20)),
         interpret=interpret,
-    )(fp.pre1, fp.pre2, fp.w1, fp.b1, fp.wq, fp.lock, fp.v,
-      processed, memory, maskc, fp.w2, fp.b2, fp.wpe, fp.bpe,
-      h1, c1, h2, c2, attmat, ctx, prev, flags)
+    )(*inputs)
+
+
+def _prenet_keep_masks(rng, t0, chunk_steps: int, p: int):
+    """(chunk, 8, p) fp32 0/1 keep masks for both prenet layers, drawn
+    with EXACTLY the XLA path's key derivation (decode_chunk:
+    key = fold_in(rng, t); prenet_apply: fold_in(key, layer)), so the
+    dropout pattern is bit-identical. Row 0 carries the B=1 mask; rows
+    1..7 are copies (never read)."""
+    def one(t):
+        key_t = jax.random.fold_in(rng, t)
+        k1 = jax.random.bernoulli(jax.random.fold_in(key_t, 0), 0.5,
+                                  (1, p))
+        k2 = jax.random.bernoulli(jax.random.fold_in(key_t, 1), 0.5,
+                                  (1, p))
+        return k1, k2
+    k1, k2 = jax.vmap(one)(t0 + jnp.arange(chunk_steps))
+    bro = lambda k: jnp.broadcast_to(k.astype(jnp.float32),
+                                     (chunk_steps, 8, p))
+    return bro(k1), bro(k2)
 
 
 def decode_chunk_fused(fp: FusedDecoderParams, carry, memory: jnp.ndarray,
                        processed_memory: jnp.ndarray,
                        mask: Optional[jnp.ndarray],
                        cfg: Tacotron2Config, *, chunk_steps: int,
-                       dtype=jnp.bfloat16, interpret: bool = False):
-    """Drop-in replacement for ``tacotron2.decode_chunk`` (B=1,
-    deterministic prenet). Same carry/return contract; ``fp`` is the
-    packed weights from ``pack_decoder_params`` (same dtype).
+                       dtype=jnp.bfloat16, interpret: bool = False,
+                       rng: Optional[jax.Array] = None):
+    """Drop-in replacement for ``tacotron2.decode_chunk`` (B=1). Same
+    carry/return contract; ``fp`` is the packed weights from
+    ``pack_decoder_params`` (same dtype). ``rng`` enables the
+    reference's inference-time prenet dropout (model.py:99) via
+    precomputed keep masks streamed into the kernel — round 3; None
+    keeps the deterministic prenet.
     """
     from tacotron2_tpu.models.tacotron2 import StreamCarry, DecoderState
 
@@ -424,11 +468,17 @@ def decode_chunk_fused(fp: FusedDecoderParams, carry, memory: jnp.ndarray,
     else:
         gate_logit = math.log(thr) - math.log1p(-thr)
 
+    if rng is not None:
+        kp1, kp2 = _prenet_keep_masks(rng, carry.t, chunk_steps, d.p)
+    else:
+        kp1 = kp2 = jnp.zeros((1,), f32)  # unused placeholder
+
     (frames, align_tc, h1o, c1o, h2o, c2o, atto, ctxo, prevo,
      flagso) = _fused_chunk_call(
         fp, mem_p, proc_full, maskc, h1, c1, h2, c2, attmat, ctx, prev,
-        flags, dims=d, chunk_steps=chunk_steps, gate_logit=gate_logit,
-        interpret=interpret, dtype=dtype)
+        flags, kp1, kp2, dims=d, chunk_steps=chunk_steps,
+        gate_logit=gate_logit, interpret=interpret, dtype=dtype,
+        dropout=rng is not None)
 
     mel = frames[:, 0, :d.n].reshape(1, chunk_steps * r,
                                      cfg.n_mel_channels)
@@ -457,7 +507,8 @@ def decode_autoregressive_fused(fp: FusedDecoderParams, memory: jnp.ndarray,
                                 max_steps: Optional[int] = None,
                                 chunk_steps: int = 64,
                                 dtype=jnp.bfloat16,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                rng: Optional[jax.Array] = None):
     """Full-utterance fused decode: ``lax.while_loop`` over fused chunks
     with early exit once the gate latches (chunk-granular), all inside one
     jittable function. Same return contract as
@@ -486,7 +537,7 @@ def decode_autoregressive_fused(fp: FusedDecoderParams, memory: jnp.ndarray,
         i, carry, mels, gates, aligns = c
         carry, (mel, gate, align) = decode_chunk_fused(
             fp, carry, memory, processed_memory, mask, cfg,
-            chunk_steps=cs, dtype=dtype, interpret=interpret)
+            chunk_steps=cs, dtype=dtype, interpret=interpret, rng=rng)
         return (i + 1, carry,
                 mels.at[i].set(mel[0]),
                 gates.at[i].set(gate[0]),

@@ -514,12 +514,16 @@ def infer_fused(params: Params, stats: Params, text: jnp.ndarray,
                 text_lengths: jnp.ndarray, cfg: Tacotron2Config, *,
                 packed=None, max_steps: Optional[int] = None,
                 chunk_steps: int = 64,
-                compute_dtype=None) -> "InferenceResult":
+                compute_dtype=None,
+                rng: Optional[jax.Array] = None) -> "InferenceResult":
     """``infer`` through the fused Pallas decoder chunk kernel
-    (kernels/decoder_step.py) — B=1, deterministic prenet; ~4.5x the XLA
-    decode at B=1 (PERFORMANCE.md). ``packed`` is the reusable
-    ``pack_decoder_params`` result (built on the fly if omitted; pass it
-    in for serving so the packing cost is paid once).
+    (kernels/decoder_step.py) — B=1; ~4.5x the XLA decode at B=1
+    (PERFORMANCE.md). ``packed`` is the reusable ``pack_decoder_params``
+    result (built on the fly if omitted; pass it in for serving so the
+    packing cost is paid once). ``rng`` + prenet_dropout_at_inference
+    reproduce the reference's inference-time prenet dropout
+    (model.py:99) inside the kernel via streamed keep masks (round 3);
+    rng=None runs the deterministic prenet, like ``infer`` with rng=None.
     """
     from tacotron2_tpu.kernels import decoder_step as ds
     if compute_dtype is None:
@@ -528,6 +532,8 @@ def infer_fused(params: Params, stats: Params, text: jnp.ndarray,
     if packed is None:
         packed = ds.pack_decoder_params(params, cfg, dtype=kdtype)
     interpret = jax.default_backend() == "cpu"
+    if not cfg.prenet_dropout_at_inference:
+        rng = None
 
     memory, _ = encode(params, stats, text, text_lengths, cfg,
                        training=False, rng=None,
@@ -538,7 +544,8 @@ def infer_fused(params: Params, stats: Params, text: jnp.ndarray,
     mel, gate_energies, alignments, mel_lengths = \
         ds.decode_autoregressive_fused(
             packed, memory, processed, mask, cfg, max_steps=max_steps,
-            chunk_steps=chunk_steps, dtype=kdtype, interpret=interpret)
+            chunk_steps=chunk_steps, dtype=kdtype, interpret=interpret,
+            rng=rng)
     residual, _ = postnet_apply(params, stats, mel, cfg, training=False,
                                 rng=None, compute_dtype=compute_dtype)
     mel_postnet = mel + residual

@@ -28,6 +28,7 @@ CFG = Tacotron2Config(
     attention_location_n_filters=4, attention_location_kernel_size=11,
     postnet_embedding_dim=24, postnet_n_convolutions=3, n_mel_channels=10,
     max_decoder_steps=40, prenet_dropout_at_inference=False,
+    compute_dtype="float32",  # torch-oracle parity (bf16 is the r3 default)
 )
 
 

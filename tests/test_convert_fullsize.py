@@ -29,7 +29,8 @@ pytestmark = pytest.mark.slow
 
 # The reference defaults, verbatim (hparams.py:47-85), deterministic prenet
 # for a comparable oracle.
-CFG = Tacotron2Config(prenet_dropout_at_inference=False)
+CFG = Tacotron2Config(prenet_dropout_at_inference=False,
+                      compute_dtype="float32")  # exact torch-oracle gate
 
 
 @pytest.fixture(scope="module")

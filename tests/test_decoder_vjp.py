@@ -17,6 +17,7 @@ CFG = Tacotron2Config(
     attention_location_kernel_size=15, postnet_embedding_dim=32,
     postnet_n_convolutions=3, n_mel_channels=20, max_decoder_steps=50,
     custom_vjp_decoder=False,  # the plain-autodiff reference path
+    compute_dtype="float32",  # fp32 parity baseline (bf16 is the r3 default)
 )
 CFG_VJP = CFG.replace(custom_vjp_decoder=True)
 

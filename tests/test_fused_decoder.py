@@ -24,7 +24,8 @@ def make_cfg(**kw):
         prenet_dim=16, attention_dim=24, attention_location_n_filters=8,
         attention_location_kernel_size=15, postnet_embedding_dim=32,
         postnet_n_convolutions=3, n_mel_channels=20, max_decoder_steps=24,
-        text_buckets=(16,), gate_threshold=0.99)
+        text_buckets=(16,), gate_threshold=0.99,
+        compute_dtype="float32")  # fp32 parity (bf16 is the r3 default)
     base.update(kw)
     return Tacotron2Config(**base)
 
@@ -77,6 +78,41 @@ def test_fused_chunk_matches_reference(gate_threshold, ks, r):
             err_msg=f"state.{field}")
     np.testing.assert_allclose(np.asarray(cf.prev_mel),
                                np.asarray(cr.prev_mel), atol=1e-5)
+
+
+def test_fused_chunk_prenet_dropout_parity():
+    """Round 3 (VERDICT r2 #4): with ``rng`` given, the fused kernel
+    reproduces the reference's inference-time prenet dropout
+    (model.py:99) — same fold_in key derivation as the XLA
+    ``decode_chunk``, so outputs match bit-for-bit-pattern at fp32
+    tolerance across resumed chunks."""
+    cfg = make_cfg()
+    params, memory, processed, mask = setup(cfg, seed=3)
+    fp = ds.pack_decoder_params(params, cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(42)
+
+    cr = m.init_stream_carry(memory, cfg)
+    cf = m.init_stream_carry(memory, cfg)
+    for _ in range(3):
+        cr, (mr, gr, ar) = m.decode_chunk(
+            params, cr, memory, processed, mask, cfg, chunk_steps=8,
+            rng=rng)
+        cf, (mf, gf, af) = ds.decode_chunk_fused(
+            fp, cf, memory, processed, mask, cfg, chunk_steps=8,
+            dtype=jnp.float32, interpret=True, rng=rng)
+        np.testing.assert_allclose(mf, mr, atol=1e-5)
+        np.testing.assert_allclose(gf, gr, atol=1e-5)
+        np.testing.assert_allclose(af, ar, atol=1e-5)
+    # dropout actually does something: deterministic run differs
+    cd = m.init_stream_carry(memory, cfg)
+    _, (md, _, _) = ds.decode_chunk_fused(
+        fp, cd, memory, processed, mask, cfg, chunk_steps=8,
+        dtype=jnp.float32, interpret=True, rng=None)
+    cx = m.init_stream_carry(memory, cfg)
+    _, (mx, _, _) = ds.decode_chunk_fused(
+        fp, cx, memory, processed, mask, cfg, chunk_steps=8,
+        dtype=jnp.float32, interpret=True, rng=rng)
+    assert not np.allclose(np.asarray(md), np.asarray(mx), atol=1e-5)
 
 
 def test_fused_chunk_resume_equals_one_shot():

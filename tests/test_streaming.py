@@ -23,7 +23,8 @@ CFG = Tacotron2Config(
     prenet_dim=16, attention_dim=24, attention_location_n_filters=8,
     attention_location_kernel_size=15, postnet_embedding_dim=32,
     postnet_n_convolutions=3, n_mel_channels=20, max_decoder_steps=24,
-    text_buckets=(16, 32), gate_threshold=0.99)
+    text_buckets=(16, 32), gate_threshold=0.99,
+    compute_dtype="float32")  # fp32 parity (bf16 is the r3 default)
 
 HG_CFG = hifigan.HiFiGANConfig(
     n_mel_channels=20, upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),

