@@ -395,23 +395,24 @@ def _fused_chunk_call(fp: FusedDecoderParams, memory, processed, maskc,
     )(*inputs)
 
 
-def _prenet_keep_masks(rng, t0, chunk_steps: int, p: int):
+def _prenet_keep_masks(rng, t0, chunk_steps: int, p: int, b: int = 1):
     """(chunk, 8, p) fp32 0/1 keep masks for both prenet layers, drawn
     with EXACTLY the XLA path's key derivation (decode_chunk:
-    key = fold_in(rng, t); prenet_apply: fold_in(key, layer)), so the
-    dropout pattern is bit-identical. Row 0 carries the B=1 mask; rows
-    1..7 are copies (never read)."""
+    key = fold_in(rng, t); prenet_apply: fold_in(key, layer)) at the
+    XLA batch width ``b`` — bernoulli is drawn at shape (b, p), exactly
+    what ``prenet_apply`` draws for a B=b decode — so the dropout
+    pattern is bit-identical per row. Rows b..7 are zero (never read)."""
     def one(t):
         key_t = jax.random.fold_in(rng, t)
         k1 = jax.random.bernoulli(jax.random.fold_in(key_t, 0), 0.5,
-                                  (1, p))
+                                  (b, p))
         k2 = jax.random.bernoulli(jax.random.fold_in(key_t, 1), 0.5,
-                                  (1, p))
+                                  (b, p))
         return k1, k2
     k1, k2 = jax.vmap(one)(t0 + jnp.arange(chunk_steps))
-    bro = lambda k: jnp.broadcast_to(k.astype(jnp.float32),
-                                     (chunk_steps, 8, p))
-    return bro(k1), bro(k2)
+    pad = lambda k: jnp.pad(k.astype(jnp.float32),
+                            ((0, 0), (0, 8 - b), (0, 0)))
+    return pad(k1), pad(k2)
 
 
 def decode_chunk_fused(fp: FusedDecoderParams, carry, memory: jnp.ndarray,

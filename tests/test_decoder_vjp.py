@@ -98,6 +98,7 @@ def test_interleave_forward_exact(setup):
                                       err_msg=name)
 
 
+@pytest.mark.slow
 def test_interleave_grad_parity(setup):
     """Gradients through the interleaved backward match interleave=1."""
     params, memory, memory_lengths, mels = setup

@@ -122,6 +122,7 @@ def test_grad_parity():
         np.testing.assert_allclose(g / scale, r / scale, atol=8e-2)
 
 
+@pytest.mark.slow  # multi-tile parity: slow tier + on-HW harness
 def test_long_text_parity():
     """T_in > 128 (the 192-symbol bucket) runs through the kernels'
     multi-tile path — round 3's headline capability. Forward AND
@@ -166,6 +167,7 @@ def test_long_text_parity():
         T_IN = old_t
 
 
+@pytest.mark.slow  # batch-tile parity: slow tier + on-HW harness
 def test_batch_tiled_parity():
     """B > 128 runs as uniform 128-row batch tiles over the grid's
     leading dim (round 3, VERDICT task 2). Forward + gradient parity at
@@ -352,9 +354,12 @@ def test_default_config_engages_kernel(monkeypatch):
     cfg = small_cfg()  # default flags, 128-aligned small dims
     assert cfg.pallas_train_scan  # inherited default, not overridden
     state = create_train_state(jax.random.PRNGKey(0), cfg)
-    batch = _make_batch(cfg, B=8, T_in=24, T_out=16)
-    new_state, metrics, _ = train_step(state, batch,
-                                       jax.random.PRNGKey(1), cfg)
+    batch = _make_batch(cfg, B=8, T_in=24, T_out=8)
+    # jit: one compiled graph instead of eagerly dispatching every op of
+    # the full step on CPU (cuts this test from ~80s to seconds); the
+    # spy records the kernel-path call at trace time
+    step = jax.jit(lambda s, b, r: train_step(s, b, r, cfg)[1])
+    metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics.loss))
     assert calls, "default-config train step fell back to the XLA scan"
 
@@ -372,10 +377,10 @@ def test_sharded_step_with_kernel_8dev():
     # per-shard batch must satisfy the envelope: 64 over dp=8 -> 8/shard
     cfg = small_cfg(batch_size=64, pallas_train_scan=True,
                     mesh_shape=(8, 1))
-    assert train_scan.supported(cfg, 24, 64)
+    assert train_scan.supported(cfg, 16, 64)
     mesh = create_mesh((8, 1))
     state = create_sharded_state(jax.random.PRNGKey(0), cfg, mesh)
     step = make_train_step(cfg, mesh, state)
-    batch = _make_batch(cfg, B=64, T_in=24, T_out=32)
+    batch = _make_batch(cfg, B=64, T_in=16, T_out=8)
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics.loss))

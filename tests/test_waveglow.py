@@ -172,6 +172,7 @@ class TestTrainingAndInference:
                           key=jax.random.PRNGKey(1))
         np.testing.assert_array_equal(np.asarray(audio), np.asarray(audio2))
 
+    @pytest.mark.slow
     def test_full_size_param_count(self):
         """Full config lands in the WaveGlow ballpark (~87M at 256ch/12
         flows; ours differs slightly by per-layer cond convs)."""
