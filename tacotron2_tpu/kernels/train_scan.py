@@ -43,13 +43,15 @@ The BACKWARD kernel (``backward_chain``) mirrors the reverse scan of
 decoder_vjp with the transposed LSTM weights and the banded matrices
 VMEM-resident. Per step it computes ONLY the sequential data-gradient
 chain and emits per-step cotangent stacks (dga, dgd, d_prenet, d_ctx,
-d_q, d_e); every parameter gradient hoists outside into batched einsums.
-Round-3 change: the kernel no longer emits the (T, B, T_pad*datt) ``d_M``
-stack (2.1 GB of HBM writes riding the sequential scan at T_in=128,
-4.3 GB at 256) — it emits the (T, B, T_pad) softmax-backward cotangent
-``d_e`` instead (~130x smaller), and ``attention_param_grads``
-rematerializes the conv features from the saved attention-weight stacks
-when it hoists the location conv/dense gradients.
+d_q, d_M); every parameter gradient hoists outside into batched einsums
+over those stacks (the location conv/dense gradients via a chunked
+conv-correlation post-pass, ``attention_param_grads``, which also folds
+the d_processed step-sum into its read of the d_M stack so the kernel
+needs no (B, T_pad*datt) fp32 VMEM accumulator). An alternative that
+emitted only the ~130x smaller softmax cotangent and rematerialized
+d_M in the post-pass was considered and rejected: the post-pass remat
+materializes (chunk*B, T_pad, datt) feature tensors whose HBM round
+trips cost more than the d_M stream saves from the scan.
 
 Numerics vs the XLA forward (``decoder_vjp._forward``): forward math is
 the same op chain with fp32 accumulation where the XLA bf16 path
