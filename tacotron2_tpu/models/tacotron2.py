@@ -555,6 +555,49 @@ def infer_fused(params: Params, stats: Params, text: jnp.ndarray,
                            mel_lengths)
 
 
+def infer_batch_fused(params: Params, stats: Params, text: jnp.ndarray,
+                      text_lengths: jnp.ndarray, cfg: Tacotron2Config, *,
+                      packed=None, max_steps: Optional[int] = None,
+                      chunk_steps: int = 64, compute_dtype=None,
+                      rng: Optional[jax.Array] = None) -> "InferenceResult":
+    """``infer`` through the BATCHED fused Pallas decoder
+    (kernels/decoder_batch.py) — up to 8 rows decode together with every
+    decoder weight VMEM-resident; measured 2.1x the XLA batched decode
+    at B=8 (PERFORMANCE.md round 3). Same contract as ``infer``;
+    ``packed`` is the reusable ``pack_batch_decoder_params`` result.
+    ``rng`` + prenet_dropout_at_inference reproduce the reference's
+    inference-time prenet dropout (model.py:99) per row.
+    """
+    from tacotron2_tpu.kernels import decoder_batch as db
+    if compute_dtype is None:
+        compute_dtype = cfg.jax_compute_dtype
+    kdtype = compute_dtype or jnp.float32
+    if packed is None:
+        packed = db.pack_batch_decoder_params(params, cfg, dtype=kdtype)
+    interpret = jax.default_backend() == "cpu"
+    if not cfg.prenet_dropout_at_inference:
+        rng = None
+
+    memory, _ = encode(params, stats, text, text_lengths, cfg,
+                       training=False, rng=None,
+                       compute_dtype=compute_dtype)
+    processed = dense(params["decoder"]["attention"]["memory"], memory,
+                      compute_dtype=compute_dtype)
+    mask = length_mask(text_lengths, memory.shape[1])
+    mel, gate_energies, alignments, mel_lengths = \
+        db.decode_autoregressive_batch(
+            packed, memory, processed, mask, cfg, max_steps=max_steps,
+            chunk_steps=chunk_steps, dtype=kdtype, interpret=interpret,
+            rng=rng)
+    residual, _ = postnet_apply(params, stats, mel, cfg, training=False,
+                                rng=None, compute_dtype=compute_dtype)
+    mel_postnet = mel + residual
+    mel, mel_postnet, gate_energies = mask_outputs(
+        mel, mel_postnet, gate_energies, mel_lengths)
+    return InferenceResult(mel, mel_postnet, gate_energies, alignments,
+                           mel_lengths)
+
+
 def quantize_for_serving(params: Params) -> Params:
     """int8 weight-only serving form of the model parameters.
 

@@ -39,7 +39,8 @@ class BatchingSynthesizer:
     def __init__(self, params, stats, config: Tacotron2Config,
                  max_batch: int = 8, max_wait_ms: float = 5.0,
                  max_steps: Optional[int] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 use_fused_kernel: bool = True):
         # pin to device once: host-side (numpy) pytrees passed to a jitted
         # function re-upload on EVERY call — catastrophic over a tunneled
         # device link
@@ -50,6 +51,20 @@ class BatchingSynthesizer:
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self.max_steps = max_steps or config.max_decoder_steps
+        # batched fused Pallas decoder (kernels/decoder_batch.py): all
+        # decoder weights VMEM-resident across the whole decode — 2.1x
+        # the XLA batched path at B=8 (PERFORMANCE.md round 3). Engaged
+        # per bucket when the envelope fits (batch <= 8, dims %128);
+        # off-envelope buckets keep the XLA path.
+        self._packed = None
+        if use_fused_kernel and max_batch <= 8:
+            from tacotron2_tpu.kernels import decoder_batch as db
+            if db.batch_supported(self.config,
+                                  max(self.config.text_buckets),
+                                  max_batch):
+                kdtype = self.config.jax_compute_dtype or jnp.float32
+                self._packed = db.pack_batch_decoder_params(
+                    self.params, self.config, dtype=kdtype)
         self._queue: "queue.Queue" = queue.Queue()
         self._jitted = {}
         self._closed = False
@@ -83,17 +98,32 @@ class BatchingSynthesizer:
         huge compile payloads for big models)."""
         if t_text not in self._jitted:
             cfg = self.config
+            packed = self._packed
 
-            def run(params, stats, text, lengths):
-                res = tacotron2.infer(params, stats, text, lengths,
-                                      cfg, max_steps=self.max_steps,
-                                      compute_dtype=cfg.jax_compute_dtype)
-                return res.mel_postnet, res.alignments, res.mel_lengths
+            if packed is not None:
+                def run(params, stats, packed, text, lengths):
+                    res = tacotron2.infer_batch_fused(
+                        params, stats, text, lengths, cfg, packed=packed,
+                        max_steps=self.max_steps,
+                        compute_dtype=cfg.jax_compute_dtype)
+                    return res.mel_postnet, res.alignments, res.mel_lengths
 
-            jitted = jax.jit(run)
-            self._jitted[t_text] = (
-                lambda text, lengths: jitted(self.params, self.stats,
-                                             text, lengths))
+                jitted = jax.jit(run)
+                self._jitted[t_text] = (
+                    lambda text, lengths: jitted(self.params, self.stats,
+                                                 packed, text, lengths))
+            else:
+                def run(params, stats, text, lengths):
+                    res = tacotron2.infer(
+                        params, stats, text, lengths, cfg,
+                        max_steps=self.max_steps,
+                        compute_dtype=cfg.jax_compute_dtype)
+                    return res.mel_postnet, res.alignments, res.mel_lengths
+
+                jitted = jax.jit(run)
+                self._jitted[t_text] = (
+                    lambda text, lengths: jitted(self.params, self.stats,
+                                                 text, lengths))
         return self._jitted[t_text]
 
     def _collect(self):

@@ -56,3 +56,39 @@ def test_closed_rejects(synth):
     s.close()
     with pytest.raises(RuntimeError):
         s.submit("too late")
+
+
+def test_fused_kernel_path_engages(monkeypatch):
+    """Round 3: with 128-aligned dims and max_batch <= 8, the
+    synthesizer routes through the batched fused Pallas decoder
+    (kernels/decoder_batch.py) and produces sane output."""
+    from tacotron2_tpu.kernels import decoder_batch as db
+
+    cfg = Tacotron2Config(
+        n_symbols=148, symbols_embedding_dim=128,
+        encoder_embedding_dim=128, encoder_n_convolutions=1,
+        attention_rnn_dim=128, decoder_rnn_dim=128, prenet_dim=128,
+        attention_dim=128, attention_location_n_filters=4,
+        attention_location_kernel_size=7, n_mel_channels=16,
+        max_decoder_steps=8, text_buckets=(16, 32),
+        compute_dtype="float32")
+    calls = []
+    real = db.decode_autoregressive_batch
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(db, "decode_autoregressive_batch", spy)
+    params, stats = init_params(jax.random.PRNGKey(0), cfg)
+    s = BatchingSynthesizer(params, stats, cfg, max_batch=4,
+                            max_wait_ms=20)
+    try:
+        assert s._packed is not None, "fused path should be eligible"
+        mel, align, n = s.submit("hello").result(timeout=300)
+        assert 1 <= n <= cfg.max_decoder_steps
+        assert mel.shape == (n, cfg.n_mel_channels)
+        assert np.isfinite(mel).all()
+        assert calls, "batched fused decoder was not invoked"
+    finally:
+        s.close()
