@@ -20,6 +20,7 @@ CFG = Tacotron2Config(
     prenet_dim=16, attention_dim=24, attention_location_n_filters=8,
     attention_location_kernel_size=15, postnet_embedding_dim=32,
     postnet_n_convolutions=3, n_mel_channels=16, max_decoder_steps=50,
+    compute_dtype="float32",  # layout-equivalence at fp32 tolerance
 )
 
 
