@@ -31,7 +31,6 @@ n_mel_channels * n_frames_per_step < 128; T_in <= 512.
 from __future__ import annotations
 
 import functools
-import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -42,9 +41,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tacotron2_tpu.config import Tacotron2Config
 from tacotron2_tpu.kernels import train_scan
+from tacotron2_tpu.kernels.decoder_step import (GATE_MASK,
+                                                gate_logit_threshold)
 from tacotron2_tpu.kernels.train_scan import CS, TT, WOFF
-
-GATE_MASK = 1e3  # MASKED_GATE_ENERGY (reference model.py:495)
 
 
 class BatchDecoderParams(NamedTuple):
@@ -304,15 +303,6 @@ def _batch_chunk_call(fp: BatchDecoderParams, proc_flat, mem_flat, emask,
     )(*inputs)
 
 
-def _gate_logit(cfg: Tacotron2Config) -> float:
-    thr = cfg.gate_threshold
-    if thr <= 0.0:
-        return -1e30
-    if thr >= 1.0:
-        return 1e30
-    return math.log(thr) - math.log1p(-thr)
-
-
 def decode_chunk_batch(fp: BatchDecoderParams, carry, memory: jnp.ndarray,
                        processed_memory: jnp.ndarray,
                        mask: Optional[jnp.ndarray],
@@ -373,7 +363,7 @@ def decode_chunk_batch(fp: BatchDecoderParams, carry, memory: jnp.ndarray,
      flagso) = _batch_chunk_call(
         fp, proc_flat, mem_flat, emask, h1, c1, h2, c2, w0, wc0, ctx,
         prev, flags, kp1, kp2, dims=d, n=n, chunk_steps=chunk_steps,
-        gate_logit=_gate_logit(cfg), interpret=interpret, dtype=dtype,
+        gate_logit=gate_logit_threshold(cfg), interpret=interpret, dtype=dtype,
         dropout=rng is not None)
 
     mel = (frames[:, :B, :n].transpose(1, 0, 2)

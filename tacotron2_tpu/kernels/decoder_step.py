@@ -57,6 +57,18 @@ NEG = -1e30  # -inf stand-in: keeps garbage rows finite through softmax
 GATE_MASK = 1e3  # MASKED_GATE_ENERGY (reference model.py:495)
 
 
+def gate_logit_threshold(cfg: Tacotron2Config) -> float:
+    """sigmoid(gate) > threshold as a logit comparison (shared by the
+    fused decoders; keeps the thr<=0 / thr>=1 edge semantics in one
+    place)."""
+    thr = cfg.gate_threshold
+    if thr <= 0.0:
+        return -1e30
+    if thr >= 1.0:
+        return 1e30
+    return math.log(thr) - math.log1p(-thr)
+
+
 def _pad128(x: int) -> int:
     return -(-x // 128) * 128
 
@@ -461,13 +473,7 @@ def decode_chunk_fused(fp: FusedDecoderParams, carry, memory: jnp.ndarray,
     flags = flags.at[0, 1].set(carry.lengths[0])
     flags = flags.at[0, 2].set(carry.t)
 
-    thr = cfg.gate_threshold
-    if thr <= 0.0:
-        gate_logit = -1e30
-    elif thr >= 1.0:
-        gate_logit = 1e30
-    else:
-        gate_logit = math.log(thr) - math.log1p(-thr)
+    gate_logit = gate_logit_threshold(cfg)
 
     if rng is not None:
         kp1, kp2 = _prenet_keep_masks(rng, carry.t, chunk_steps, d.p)

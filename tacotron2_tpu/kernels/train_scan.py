@@ -136,32 +136,48 @@ def scan_dims(cfg: Tacotron2Config, t_in: int) -> ScanDims:
                     k1=p + e + a, k2=a + e + d)
 
 
+def _batch_fits(dims: ScanDims, b: int) -> bool:
+    """Whether one (per-device) batch value fits the kernel envelope.
+
+    VMEM bound: the backward kernel's resident set (both band
+    orientations + memory + the transposed LSTM weights) exceeds VMEM
+    at B_tile=128 x T_pad=256; B <= 64 leaves room for the full 256.
+    batch > 128 runs as ceil(B/128) batch tiles over the grid's leading
+    dim (each tile a full sequential chain, weights fetched once), so
+    the per-tile bound is what matters; tiles must be uniform.
+    """
+    b_tile = b if b <= 128 else 128
+    uniform = b <= 128 or b % 128 == 0
+    t_cap = 256 if b_tile <= 64 else 192
+    return (dims.t_pad <= t_cap and b % 8 == 0 and b <= 512 and uniform)
+
+
 def supported(cfg: Tacotron2Config, t_in: int, batch: int) -> bool:
     """Whether this (cfg, shapes) combination fits the kernel envelope.
 
-    ``batch`` is the global batch; under a dp-sharded step the kernel
-    sees the per-shard slice, so the bound applies to
-    batch / mesh_shape[0] when that divides evenly (ADVICE r2).
+    ``batch`` is the global batch. Under a dp-sharded step the kernel
+    sees the per-shard slice, so the check accepts if EITHER the global
+    batch or the per-shard batch fits (ADVICE r2); dp follows the
+    mesh convention (parallel/mesh.py): mesh_shape=(1,1), the default,
+    means "all local devices on dp". An unsharded caller whose global
+    batch only fits per-shard would fail the Mosaic compile loudly
+    rather than silently computing wrong shapes.
     """
     dims = scan_dims(cfg, t_in)
     aligned = all(x % 128 == 0 for x in
                   (dims.p, dims.e, dims.a, dims.d, dims.datt))
-    dp = max(1, cfg.mesh_shape[0]) if cfg.mesh_shape else 1
-    b_shard = batch // dp if (dp > 1 and batch % dp == 0) else batch
-    # VMEM bound: the backward kernel's resident set (both band
-    # orientations + memory + the transposed LSTM weights) exceeds VMEM
-    # at B_tile=128 x T_pad=256; B <= 64 leaves room for the full 256.
-    # batch > 128 runs as ceil(B/128) batch tiles over the grid's leading
-    # dim (each tile a full sequential chain, weights fetched once), so
-    # the per-tile bound is what matters; tiles must be uniform.
-    b_tile = b_shard if b_shard <= 128 else 128
-    uniform = b_shard <= 128 or b_shard % 128 == 0
-    t_cap = 256 if b_tile <= 64 else 192
-    return (cfg.jax_compute_dtype == jnp.bfloat16
-            and cfg.decoder_interleave <= 1
-            and aligned and dims.t_pad <= t_cap
-            and b_shard % 8 == 0 and b_shard <= 512 and uniform
-            and dims.ks % 2 == 1 and dims.ks <= 2 * WOFF + 1)
+    if not (cfg.jax_compute_dtype == jnp.bfloat16
+            and cfg.decoder_interleave <= 1 and aligned
+            and dims.ks % 2 == 1 and dims.ks <= 2 * WOFF + 1):
+        return False
+    if cfg.mesh_shape and tuple(cfg.mesh_shape) != (1, 1):
+        dp = max(1, cfg.mesh_shape[0])
+    else:
+        dp = max(1, jax.device_count())
+    candidates = [batch]
+    if dp > 1 and batch % dp == 0:
+        candidates.append(batch // dp)
+    return any(_batch_fits(dims, b) for b in candidates)
 
 
 # ------------------------------------------------------------- packing

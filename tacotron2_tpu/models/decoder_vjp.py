@@ -203,14 +203,16 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
 
     # ------------------------------------------------------------ forward
     def _forward(dp, prenet_steps, memory, processed, mask, scan_rng):
-        if cfg.pallas_train_scan and n_il == 1:
+        if cfg.pallas_train_scan:
             from tacotron2_tpu.kernels import train_scan
-            if train_scan.supported(cfg, memory.shape[1],
-                                    prenet_steps.shape[1]):
+            if n_il == 1 and train_scan.supported(
+                    cfg, memory.shape[1], prenet_steps.shape[1]):
                 outs = train_scan.forward_residuals(
                     dp, prenet_steps, memory, processed, mask, scan_rng,
                     cfg, dropout_active)
                 return (_Residuals(*outs),)
+            # warn on ANY fallback, including decoder_interleave > 1
+            # (supported() also rejects it, so it reports the reason)
             _warn_fallback(cfg, memory.shape[1], prenet_steps.shape[1])
         return _forward_xla(dp, prenet_steps, memory, processed, mask,
                             scan_rng)

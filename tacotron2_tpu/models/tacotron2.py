@@ -534,6 +534,9 @@ def infer_fused(params: Params, stats: Params, text: jnp.ndarray,
     interpret = jax.default_backend() == "cpu"
     if not cfg.prenet_dropout_at_inference:
         rng = None
+    # same key derivation as ``infer`` (split -> (enc_rng, pre_rng)), so
+    # the fused path reproduces infer's dropout stream for the same seed
+    pre_rng = jax.random.split(rng)[1] if rng is not None else None
 
     memory, _ = encode(params, stats, text, text_lengths, cfg,
                        training=False, rng=None,
@@ -545,7 +548,7 @@ def infer_fused(params: Params, stats: Params, text: jnp.ndarray,
         ds.decode_autoregressive_fused(
             packed, memory, processed, mask, cfg, max_steps=max_steps,
             chunk_steps=chunk_steps, dtype=kdtype, interpret=interpret,
-            rng=rng)
+            rng=pre_rng)
     residual, _ = postnet_apply(params, stats, mel, cfg, training=False,
                                 rng=None, compute_dtype=compute_dtype)
     mel_postnet = mel + residual
@@ -577,6 +580,8 @@ def infer_batch_fused(params: Params, stats: Params, text: jnp.ndarray,
     interpret = jax.default_backend() == "cpu"
     if not cfg.prenet_dropout_at_inference:
         rng = None
+    # same key derivation as ``infer`` (split -> (enc_rng, pre_rng))
+    pre_rng = jax.random.split(rng)[1] if rng is not None else None
 
     memory, _ = encode(params, stats, text, text_lengths, cfg,
                        training=False, rng=None,
@@ -588,7 +593,7 @@ def infer_batch_fused(params: Params, stats: Params, text: jnp.ndarray,
         db.decode_autoregressive_batch(
             packed, memory, processed, mask, cfg, max_steps=max_steps,
             chunk_steps=chunk_steps, dtype=kdtype, interpret=interpret,
-            rng=rng)
+            rng=pre_rng)
     residual, _ = postnet_apply(params, stats, mel, cfg, training=False,
                                 rng=None, compute_dtype=compute_dtype)
     mel_postnet = mel + residual

@@ -59,9 +59,16 @@ class BatchingSynthesizer:
         self._packed = None
         if use_fused_kernel and max_batch <= 8:
             from tacotron2_tpu.kernels import decoder_batch as db
-            if db.batch_supported(self.config,
-                                  max(self.config.text_buckets),
-                                  max_batch):
+            # int8-quantized LSTM cells (quantize_for_serving) use a
+            # {w_q, scale, bias} tree the fused packer cannot consume —
+            # those params keep the XLA path (which dispatches on the
+            # quantized keys)
+            plain_lstms = all(
+                "wi" in self.params["decoder"][k]
+                for k in ("attention_rnn", "decoder_rnn"))
+            if plain_lstms and db.batch_supported(
+                    self.config, max(self.config.text_buckets),
+                    max_batch):
                 kdtype = self.config.jax_compute_dtype or jnp.float32
                 self._packed = db.pack_batch_decoder_params(
                     self.params, self.config, dtype=kdtype)
@@ -100,30 +107,25 @@ class BatchingSynthesizer:
             cfg = self.config
             packed = self._packed
 
-            if packed is not None:
-                def run(params, stats, packed, text, lengths):
+            def run(params, stats, packed, text, lengths):
+                if packed is not None:  # static: bound at trace time
                     res = tacotron2.infer_batch_fused(
                         params, stats, text, lengths, cfg, packed=packed,
                         max_steps=self.max_steps,
                         compute_dtype=cfg.jax_compute_dtype)
-                    return res.mel_postnet, res.alignments, res.mel_lengths
-
-                jitted = jax.jit(run)
-                self._jitted[t_text] = (
-                    lambda text, lengths: jitted(self.params, self.stats,
-                                                 packed, text, lengths))
-            else:
-                def run(params, stats, text, lengths):
+                else:
                     res = tacotron2.infer(
                         params, stats, text, lengths, cfg,
                         max_steps=self.max_steps,
                         compute_dtype=cfg.jax_compute_dtype)
-                    return res.mel_postnet, res.alignments, res.mel_lengths
+                return res.mel_postnet, res.alignments, res.mel_lengths
 
-                jitted = jax.jit(run)
-                self._jitted[t_text] = (
-                    lambda text, lengths: jitted(self.params, self.stats,
-                                                 text, lengths))
+            # packed=None is an empty pytree, so the branch resolves at
+            # trace time under one jit wrapper for both paths
+            jitted = jax.jit(run)
+            self._jitted[t_text] = (
+                lambda text, lengths: jitted(self.params, self.stats,
+                                             packed, text, lengths))
         return self._jitted[t_text]
 
     def _collect(self):

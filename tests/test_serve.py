@@ -92,3 +92,29 @@ def test_fused_kernel_path_engages(monkeypatch):
         assert calls, "batched fused decoder was not invoked"
     finally:
         s.close()
+
+
+def test_int8_quantized_params_fall_back_to_xla_path():
+    """quantize_for_serving params ({w_q, scale, bias} LSTM trees) cannot
+    feed the fused packer — the synthesizer must detect them and keep
+    the XLA path instead of crashing at construction (round-3 review)."""
+    from tacotron2_tpu.models.tacotron2 import quantize_for_serving
+
+    cfg = Tacotron2Config(
+        n_symbols=148, symbols_embedding_dim=128,
+        encoder_embedding_dim=128, encoder_n_convolutions=1,
+        attention_rnn_dim=128, decoder_rnn_dim=128, prenet_dim=128,
+        attention_dim=128, attention_location_n_filters=4,
+        attention_location_kernel_size=7, n_mel_channels=16,
+        max_decoder_steps=6, text_buckets=(16,),
+        compute_dtype="float32")
+    params, stats = init_params(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_for_serving(params)
+    s = BatchingSynthesizer(qparams, stats, cfg, max_batch=2,
+                            max_wait_ms=10)
+    try:
+        assert s._packed is None  # fused path correctly ineligible
+        mel, align, n = s.submit("hi").result(timeout=300)
+        assert np.isfinite(mel).all()
+    finally:
+        s.close()
