@@ -341,22 +341,25 @@ def test_attention_param_grads_nondivisible_steps():
                                atol=2e-2 * np.abs(ref_ck).max())
 
 
-def test_default_config_engages_kernel(monkeypatch):
-    """VERDICT r2 #3: the shipped default IS the benchmarked config.
-    (a) the stock ``Tacotron2Config()`` has the kernel flags on and its
-    full-size dims are inside the kernel envelope for every text bucket;
-    (b) a train step at default flags actually invokes the Pallas
-    forward (observed via monkeypatch), not the XLA fallback."""
+def test_kernel_config_engages_kernel(monkeypatch):
+    """(a) the stock ``Tacotron2Config()`` (bf16, custom-VJP) is inside
+    the kernel envelope for every text bucket, so enabling the kernels
+    is the single flag ``pallas_train_scan=true``; (b) a train step with
+    that flag actually invokes the Pallas forward (observed via
+    monkeypatch), not the XLA fallback. NOTE: the flag itself defaults
+    OFF since the round-3 quality-gate finding (config.py) — the
+    default-path QUALITY is covered by the tone-corpus gate instead."""
     from tacotron2_tpu.config import Tacotron2Config, create_config
     from tacotron2_tpu.kernels import train_scan
     from tacotron2_tpu.training.state import create_train_state, train_step
     from __graft_entry__ import _make_batch
 
     default = create_config(None)  # what the CLI builds with no hparams
-    assert default.pallas_train_scan and default.custom_vjp_decoder
+    assert default.custom_vjp_decoder
     assert default.compute_dtype == "bfloat16"
+    kcfg = default.replace(pallas_train_scan=True)
     for bucket in default.text_buckets:
-        assert train_scan.supported(default, bucket, default.batch_size), \
+        assert train_scan.supported(kcfg, bucket, default.batch_size), \
             bucket
 
     calls = []
@@ -367,8 +370,7 @@ def test_default_config_engages_kernel(monkeypatch):
         return real(*a, **kw)
 
     monkeypatch.setattr(train_scan, "forward_residuals", spy)
-    cfg = small_cfg()  # default flags, 128-aligned small dims
-    assert cfg.pallas_train_scan  # inherited default, not overridden
+    cfg = small_cfg(pallas_train_scan=True)  # 128-aligned small dims
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     batch = _make_batch(cfg, B=8, T_in=24, T_out=8)
     # jit: one compiled graph instead of eagerly dispatching every op of
