@@ -150,30 +150,31 @@ class Tacotron2Config:
     # (a multiple of 128 above 128: uniform batch tiles over the grid);
     # configurations outside that envelope fall back to the XLA forward
     # scan with a one-time warning (kernels/train_scan.supported).
-    # Round 3 flipped this ON by default, then flipped it BACK after the
-    # end-to-end quality gate caught a training-quality regression the
-    # per-step parity tests cannot see: two tone-corpus runs (5k and 10k
-    # steps) trained through the kernels learn a LATE gate (83-138
-    # frames vs 75 expected -> 8/11 tones after segmentation drift),
-    # while the identical run with this flag false reproduces the
-    # round-1 gate exactly (11/11, 76 frames) — BENCH_DETAILS.json
-    # round3_kernel_training_quality. Per-step gradient parity is clean
-    # (every leaf within 0.7-1.2x of the XLA bf16 path's own error vs
-    # fp32 ground truth, measured on-chip), so the drift is a subtle
-    # accumulation effect — round 4's top item. Benchmarks opt in
-    # explicitly (bench.py); training defaults to the XLA custom-VJP
-    # scan until the quality gap is root-caused.
-    # Validated single-chip and under the dp-sharded pjit step on a
-    # virtual mesh (interpret lowering); on a real multi-chip pod the
-    # Mosaic-call GSPMD partitioning is unvalidated — if the pod compile
-    # rejects it, set this flag False.
-    pallas_train_scan: bool = False
+    # Round 3: ON by default, QUALITY-GATE VALIDATED — the tone-corpus
+    # gate (tools/synthesis_check.py) passes 11/11 with the forward
+    # kernel + the XLA backward (the shipped combination, see
+    # pallas_train_scan_bwd below). Validated single-chip and under the
+    # dp-sharded pjit step on a virtual mesh (interpret lowering); on a
+    # real multi-chip pod the Mosaic-call GSPMD partitioning is
+    # unvalidated — if the pod compile rejects it, set this flag False.
+    pallas_train_scan: bool = True
     # With pallas_train_scan: also run the BACKWARD data-gradient chain
     # as a weights-resident reverse-grid Pallas kernel
     # (kernels/train_scan.py:backward_chain); parameter gradients hoist
     # outside from its emitted cotangent stacks. Same envelope and
-    # fallback as the forward kernel.
-    pallas_train_scan_bwd: bool = True
+    # fallback as the forward kernel. Round 3: OFF by default — the
+    # end-to-end tone-corpus gate isolated a training-quality regression
+    # to THIS kernel (models trained through it learn a late gate:
+    # 83-138 frames vs 75 -> 8/11 tones, across 5k and 10k-step runs),
+    # while forward-kernel + XLA-backward training reproduces the
+    # round-1 gate exactly (11/11, 76 frames, final loss 0.044). Per-leaf
+    # gradient parity on-chip is clean (0.7-1.2x the XLA bf16 path's own
+    # fp32 error), so the drift is a slow accumulation effect —
+    # root-causing it is round 4's top item
+    # (BENCH_DETAILS.json round3_kernel_training_quality). bench.py
+    # opts in explicitly: the full fwd+bwd kernel path remains the
+    # throughput headline and stays envelope-guarded.
+    pallas_train_scan_bwd: bool = False
     # Checkpoint policy name (jax.checkpoint_policies.*) for the decoder
     # scan step, e.g. "dots_saveable": save only matmul outputs, recompute
     # elementwise ops in the backward — less residual HBM traffic than

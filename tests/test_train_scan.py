@@ -357,9 +357,12 @@ def test_kernel_config_engages_kernel(monkeypatch):
     default = create_config(None)  # what the CLI builds with no hparams
     assert default.custom_vjp_decoder
     assert default.compute_dtype == "bfloat16"
-    kcfg = default.replace(pallas_train_scan=True)
+    # shipped default: forward kernel ON, backward kernel opt-in (the
+    # round-3 quality bisect isolated the training drift to the bwd
+    # kernel — config.py)
+    assert default.pallas_train_scan and not default.pallas_train_scan_bwd
     for bucket in default.text_buckets:
-        assert train_scan.supported(kcfg, bucket, default.batch_size), \
+        assert train_scan.supported(default, bucket, default.batch_size), \
             bucket
 
     calls = []
@@ -370,7 +373,8 @@ def test_kernel_config_engages_kernel(monkeypatch):
         return real(*a, **kw)
 
     monkeypatch.setattr(train_scan, "forward_residuals", spy)
-    cfg = small_cfg(pallas_train_scan=True)  # 128-aligned small dims
+    cfg = small_cfg()  # default flags, 128-aligned small dims
+    assert cfg.pallas_train_scan  # inherited default
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     batch = _make_batch(cfg, B=8, T_in=24, T_out=8)
     # jit: one compiled graph instead of eagerly dispatching every op of
