@@ -53,10 +53,6 @@ def main() -> None:
     cfg = Tacotron2Config(compute_dtype="bfloat16", batch_size=128,
                           decoder_scan_unroll=8, prng_impl="unsafe_rbg",
                           custom_vjp_decoder=True, pallas_train_scan=True,
-                          # the full fwd+bwd kernel path: per-step parity
-                          # is pinned on-chip; the known issue is a slow
-                          # training-quality drift (config.py), which a
-                          # 10-step throughput bench does not touch
                           pallas_train_scan_bwd=True)
     B, T_in, T_out = cfg.batch_size, 128, 512
 

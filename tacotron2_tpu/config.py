@@ -151,8 +151,8 @@ class Tacotron2Config:
     # configurations outside that envelope fall back to the XLA forward
     # scan with a one-time warning (kernels/train_scan.supported).
     # Round 3: ON by default, QUALITY-GATE VALIDATED — the tone-corpus
-    # gate (tools/synthesis_check.py) passes 11/11 with the forward
-    # kernel + the XLA backward (the shipped combination, see
+    # gate (tools/synthesis_check.py) passes 11/11 through the full
+    # fwd+bwd kernel path (after the d_processed fp32 fix, see
     # pallas_train_scan_bwd below). Validated single-chip and under the
     # dp-sharded pjit step on a virtual mesh (interpret lowering); on a
     # real multi-chip pod the Mosaic-call GSPMD partitioning is
@@ -161,20 +161,20 @@ class Tacotron2Config:
     # With pallas_train_scan: also run the BACKWARD data-gradient chain
     # as a weights-resident reverse-grid Pallas kernel
     # (kernels/train_scan.py:backward_chain); parameter gradients hoist
-    # outside from its emitted cotangent stacks. Same envelope and
-    # fallback as the forward kernel. Round 3: OFF by default — the
-    # end-to-end tone-corpus gate isolated a training-quality regression
-    # to THIS kernel (models trained through it learn a late gate:
-    # 83-138 frames vs 75 -> 8/11 tones, across 5k and 10k-step runs),
-    # while forward-kernel + XLA-backward training reproduces the
-    # round-1 gate exactly (11/11, 76 frames, final loss 0.044). Per-leaf
-    # gradient parity on-chip is clean (0.7-1.2x the XLA bf16 path's own
-    # fp32 error), so the drift is a slow accumulation effect —
-    # root-causing it is round 4's top item
-    # (BENCH_DETAILS.json round3_kernel_training_quality). bench.py
-    # opts in explicitly: the full fwd+bwd kernel path remains the
-    # throughput headline and stays envelope-guarded.
-    pallas_train_scan_bwd: bool = False
+    # outside from its emitted cotangent stacks. Round-3 history: the
+    # end-to-end tone-corpus gate caught a training-quality drift in
+    # this kernel (late gate, 8/11 tones over 5k/10k-step runs) that
+    # per-step gradient parity could not see; a bisect isolated it and
+    # the root cause was d_processed being recovered by summing the
+    # bf16-rounded d_M stack. With fp32 in-kernel d_processed
+    # accumulation restored, the full fwd+bwd kernel path passes the
+    # gate exactly like the XLA path (11/11 tones, 76-frame gate —
+    # BENCH_DETAILS.json round3_kernel_training_quality). The kernel is
+    # therefore ON by default but quality-gated: it engages only where
+    # the fp32 accumulator fits (per-tile rows x t_pad <= 128x128,
+    # kernels/train_scan.bwd_supported); other shapes take the XLA
+    # custom-VJP backward.
+    pallas_train_scan_bwd: bool = True
     # Checkpoint policy name (jax.checkpoint_policies.*) for the decoder
     # scan step, e.g. "dots_saveable": save only matmul outputs, recompute
     # elementwise ops in the backward — less residual HBM traffic than

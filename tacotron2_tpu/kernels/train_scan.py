@@ -45,9 +45,11 @@ VMEM-resident. Per step it computes ONLY the sequential data-gradient
 chain and emits per-step cotangent stacks (dga, dgd, d_prenet, d_ctx,
 d_q, d_M); every parameter gradient hoists outside into batched einsums
 over those stacks (the location conv/dense gradients via a chunked
-conv-correlation post-pass, ``attention_param_grads``, which also folds
-the d_processed step-sum into its read of the d_M stack so the kernel
-needs no (B, T_pad*datt) fp32 VMEM accumulator). An alternative that
+conv-correlation post-pass, ``attention_param_grads``). d_processed is
+accumulated IN-KERNEL in fp32 where the (B, T_pad*datt) buffer fits
+VMEM (t_pad <= 128); larger shapes fall back to summing the bf16 d_M
+stack in the post-pass (the fp32/bf16 distinction is a live suspect in
+the backward kernel's training-quality drift, config.py). An alternative that
 emitted only the ~130x smaller softmax cotangent and rematerialized
 d_M in the post-pass was considered and rejected: the post-pass remat
 materializes (chunk*B, T_pad, datt) feature tensors whose HBM round
@@ -150,6 +152,29 @@ def _batch_fits(dims: ScanDims, b: int) -> bool:
     uniform = b <= 128 or b % 128 == 0
     t_cap = 256 if b_tile <= 64 else 192
     return (dims.t_pad <= t_cap and b % 8 == 0 and b <= 512 and uniform)
+
+
+def bwd_supported(cfg: Tacotron2Config, t_in: int, batch: int) -> bool:
+    """Whether the BACKWARD kernel may be used for this shape: the
+    forward envelope plus the fp32 in-kernel d_processed accumulator
+    (per-tile rows x t_pad <= 128x128). The bf16 d_M fallback sum was
+    root-caused as a training-quality drift (tone-corpus gate: late
+    gate, 8/11 tones) — the backward kernel only runs where the exact
+    fp32 accumulation fits; other shapes take the XLA custom-VJP
+    backward."""
+    if not supported(cfg, t_in, batch):
+        return False
+    dims = scan_dims(cfg, t_in)
+    if cfg.mesh_shape and tuple(cfg.mesh_shape) != (1, 1):
+        dp = max(1, cfg.mesh_shape[0])
+    else:
+        dp = max(1, jax.device_count())
+    candidates = [batch]
+    if dp > 1 and batch % dp == 0:
+        candidates.append(batch // dp)
+    return any(_batch_fits(dims, b)
+               and min(b, 128) * dims.t_pad <= 128 * 128
+               for b in candidates)
 
 
 def supported(cfg: Tacotron2Config, t_in: int, batch: int) -> bool:
@@ -496,7 +521,8 @@ def pack_bwd_weights(core_params, dims: ScanDims, dtype=jnp.bfloat16):
 
 
 def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
-                     p_att: float, p_dec: float, dtype):
+                     p_att: float, p_dec: float, dtype,
+                     fp32_dproc: bool):
     d = dims
     T = d.t_pad
     W = d.w_win
@@ -533,6 +559,7 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
         kdec_r = next(it) if dropout else None
         (dga_o, dgd_o, dpre_o, dctx_o, dq_o, dm_o, dv_o) = \
             (next(it) for _ in range(7))
+        dproc_o = next(it) if fp32_dproc else None
         (c_dah, c_dac, c_ddh, c_ddc, c_dw, c_dwc, c_dctx,
          cat, wp_s, wc_s, acc_w, acc_wc) = (next(it) for _ in range(12))
 
@@ -558,6 +585,12 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
         @pl.when(jnp.logical_and(first, pl.program_id(0) == 0))
         def _():
             dv_o[:] = jnp.zeros_like(dv_o)
+
+        if fp32_dproc:
+            # per-batch-tile block: zero at each tile's chain start
+            @pl.when(first)
+            def _():
+                dproc_o[:] = jnp.zeros_like(dproc_o)
 
         # previous-step saved state; ALL-ZERO initial state at t=0
         zmask = jnp.where(last, 0.0, 1.0)
@@ -614,6 +647,12 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
             # T_pad=192, B=128 compile over the VMEM budget.
             dv_o[0:1, :] = dv_o[0:1, :] + jnp.sum(
                 feat * de_rep, axis=0, keepdims=True)
+            if fp32_dproc:
+                # fp32 in-kernel accumulation (round-3 quality suspect:
+                # summing the bf16-rounded d_M stack instead was the
+                # r3 VMEM trade; restored where VMEM allows)
+                dproc_o[:, i * d.ttd:(i + 1) * d.ttd] = (
+                    dproc_o[:, i * d.ttd:(i + 1) * d.ttd] + dm)
             dm_c = dm.astype(dtype)
             dm_o[0, :, i * d.ttd:(i + 1) * d.ttd] = dm_c
             dcat = jnp.dot(dm_c, bandt[:], preferred_element_type=f32)
@@ -664,7 +703,16 @@ def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
     nb = B // Bt
     dtype = jnp.bfloat16
     f32 = jnp.float32
-    kern = _make_bwd_kernel(d, Bt, T_steps, dropout, p_att, p_dec, dtype)
+    # fp32 in-kernel d_processed accumulation where the (Bt, T*datt) f32
+    # buffer fits VMEM (Bt*t_pad bounded by the B=128/T=128 case, the
+    # largest that compiles alongside the backward's resident set);
+    # larger shapes would fall back to the bf16 d_M post-pass sum — but
+    # decoder_vjp gates the backward kernel on bwd_supported() so the
+    # bf16 path (the root cause of the round-3 training-quality drift)
+    # is never the training path
+    fp32_dproc = Bt * d.t_pad <= 128 * 128
+    kern = _make_bwd_kernel(d, Bt, T_steps, dropout, p_att, p_dec, dtype,
+                            fp32_dproc)
 
     const = lambda shape: pl.BlockSpec(
         shape, lambda b, t: tuple(0 for _ in shape),
@@ -713,6 +761,9 @@ def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
     ]
     out_specs = [rev(o.shape[1:]) for o in outs[:6]]
     out_specs += [const(outs[6].shape)]
+    if fp32_dproc:
+        outs.append(jax.ShapeDtypeStruct((B, d.t_pad * d.datt), f32))
+        out_specs.append(bconst((B, d.t_pad * d.datt)))
 
     scratch = [
         pltpu.VMEM((Bt, d.a), f32), pltpu.VMEM((Bt, d.a), f32),
@@ -782,10 +833,18 @@ def backward_chain(core_params, res, memory, processed, mask, scan_rng,
         d_dec_h_out.astype(f32), d_ctx_out.astype(f32), dalign,
         katt, kdec, dims, dropout_active, cfg.p_attention_dropout,
         cfg.p_decoder_dropout, interpret)
-    (dga_st, dgd_st, dpre_st, dctx_st, dq_st, dm_st, dv_acc) = outs
+    if len(outs) == 8:   # fp32 in-kernel d_processed (t_pad <= 128)
+        (dga_st, dgd_st, dpre_st, dctx_st, dq_st, dm_st, dv_acc,
+         dproc_acc) = outs
+    else:
+        (dga_st, dgd_st, dpre_st, dctx_st, dq_st, dm_st, dv_acc) = outs
+        dproc_acc = None
 
     d_attp, d_proc_flat = attention_param_grads(
-        core_params, dims, att_h, w_pad, wcum_prev, dq_st, dm_st, dv_acc)
+        core_params, dims, att_h, w_pad, wcum_prev, dq_st, dm_st, dv_acc,
+        skip_dproc=dproc_acc is not None)
+    if dproc_acc is not None:
+        d_proc_flat = dproc_acc
     d_processed = d_proc_flat.reshape(B, T, dims.datt)[:, :t_in].astype(
         processed.dtype)
     return dga_st, dgd_st, dpre_st, dctx_st, d_processed, d_attp
@@ -793,7 +852,7 @@ def backward_chain(core_params, res, memory, processed, mask, scan_rng,
 
 def attention_param_grads(core_params, dims: ScanDims, att_h_stack,
                           w_prev_unshifted, wcum_prev, dq_st, dm_st,
-                          dv_acc):
+                          dv_acc, skip_dproc: bool = False):
     """Hoisted attention parameter gradients from the emitted stacks.
 
     Returns (attention-params gradient subtree, flat d_processed).
@@ -839,7 +898,8 @@ def attention_param_grads(core_params, dims: ScanDims, att_h_stack,
     for start in range(0, T_steps, csz):
         sl = slice(start, min(start + csz, T_steps))
         x = (sl.stop - sl.start) * B
-        d_proc = d_proc + jnp.sum(dm_st[sl].astype(f32), axis=0)
+        if not skip_dproc:  # kernel provided exact fp32 d_processed
+            d_proc = d_proc + jnp.sum(dm_st[sl].astype(f32), axis=0)
         dm = dm_st[sl].reshape(x, T, dims.datt)            # (x, T, datt)
         wcat = jnp.stack([w_prev[sl].reshape(x, T),
                           wcum_prev[sl].reshape(x, T)],

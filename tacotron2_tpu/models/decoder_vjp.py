@@ -446,7 +446,9 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
         if cfg.pallas_train_scan and cfg.pallas_train_scan_bwd \
                 and n_il == 1:
             from tacotron2_tpu.kernels import train_scan
-            use_pallas_bwd = train_scan.supported(cfg, T_in, B)
+            # bwd_supported additionally requires the fp32 d_processed
+            # accumulator (quality gate — see train_scan.bwd_supported)
+            use_pallas_bwd = train_scan.bwd_supported(cfg, T_in, B)
         if use_pallas_bwd:
             # Fused reverse-grid kernel: computes the sequential
             # data-gradient chain with the transposed weights

@@ -27,7 +27,10 @@ def small_cfg(**kw):
         decoder_rnn_dim=128, prenet_dim=128, attention_dim=128,
         attention_location_n_filters=4, attention_location_kernel_size=7,
         n_mel_channels=16, compute_dtype="bfloat16",
-        custom_vjp_decoder=True)
+        custom_vjp_decoder=True,
+        # the bwd kernel defaults OFF since the round-3 quality finding;
+        # parity tests cover it explicitly
+        pallas_train_scan_bwd=True)
     base.update(kw)
     return Tacotron2Config(**base)
 
@@ -241,6 +244,14 @@ def test_supported_envelope():
                                     256, 256)
     # explicit dp mesh: global 256 over dp=2
     assert train_scan.supported(cfg.replace(mesh_shape=(2, 1)), 128, 256)
+    # backward quality gate (round-3 root cause): the bwd kernel only
+    # runs where the fp32 d_processed accumulator fits
+    cfg1 = cfg.replace(mesh_shape=(1, 2))  # dp=1: judge global batch
+    assert train_scan.bwd_supported(cfg1, 128, 128)
+    assert train_scan.bwd_supported(cfg1, 24, 8)
+    assert not train_scan.bwd_supported(cfg1, 192, 128)  # 128*192 > cap
+    assert train_scan.supported(cfg1, 192, 128)          # fwd still ok
+    assert train_scan.bwd_supported(cfg1, 192, 64)       # 64*192 fits
     assert not train_scan.supported(cfg.replace(compute_dtype="float32"),
                                     128, 128)
     assert not train_scan.supported(cfg.replace(attention_dim=96), 128, 128)
@@ -357,10 +368,10 @@ def test_kernel_config_engages_kernel(monkeypatch):
     default = create_config(None)  # what the CLI builds with no hparams
     assert default.custom_vjp_decoder
     assert default.compute_dtype == "bfloat16"
-    # shipped default: forward kernel ON, backward kernel opt-in (the
-    # round-3 quality bisect isolated the training drift to the bwd
-    # kernel — config.py)
-    assert default.pallas_train_scan and not default.pallas_train_scan_bwd
+    # shipped default: full fwd+bwd kernel path ON (quality-gated: the
+    # bwd kernel engages only where the fp32 d_processed accumulator
+    # fits — the round-3 root cause and fix, config.py)
+    assert default.pallas_train_scan and default.pallas_train_scan_bwd
     for bucket in default.text_buckets:
         assert train_scan.supported(default, bucket, default.batch_size), \
             bucket

@@ -66,7 +66,8 @@ def small_cfg(**kw):
         decoder_rnn_dim=128, prenet_dim=128, attention_dim=128,
         attention_location_n_filters=4, attention_location_kernel_size=7,
         n_mel_channels=16, compute_dtype="bfloat16",
-        custom_vjp_decoder=True)
+        custom_vjp_decoder=True,
+        pallas_train_scan_bwd=True)  # cover the bwd kernel explicitly
     base.update(kw)
     return Tacotron2Config(**base)
 
