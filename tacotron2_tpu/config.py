@@ -146,9 +146,11 @@ class Tacotron2Config:
     # compute, decoder_interleave=1, all of (prenet_dim,
     # encoder_embedding_dim, attention_rnn_dim, decoder_rnn_dim,
     # attention_dim) multiples of 128, T_in <= 256 (<= 192 when the
-    # per-shard batch tile exceeds 64 rows), and per-shard batch <= 512
-    # (a multiple of 128 above 128: uniform batch tiles over the grid);
-    # configurations outside that envelope fall back to the XLA forward
+    # batch tile exceeds 64 rows), and trace-time batch <= 512 (a
+    # multiple of 128 above 128: uniform batch tiles over the grid).
+    # The envelope is judged on the TRACE-TIME batch — the shape the
+    # kernel is built with (the global batch under the GSPMD-jitted
+    # step); configurations outside it fall back to the XLA forward
     # scan with a one-time warning (kernels/train_scan.supported).
     # Round 3: ON by default, QUALITY-GATE VALIDATED — the tone-corpus
     # gate (tools/synthesis_check.py) passes 11/11 through the full

@@ -46,14 +46,16 @@ chain and emits per-step cotangent stacks (dga, dgd, d_prenet, d_ctx,
 d_q, d_M); every parameter gradient hoists outside into batched einsums
 over those stacks (the location conv/dense gradients via a chunked
 conv-correlation post-pass, ``attention_param_grads``). d_processed is
-accumulated IN-KERNEL in fp32 where the (B, T_pad*datt) buffer fits
-VMEM (t_pad <= 128); larger shapes fall back to summing the bf16 d_M
-stack in the post-pass (the fp32/bf16 distinction is a live suspect in
-the backward kernel's training-quality drift, config.py). An alternative that
-emitted only the ~130x smaller softmax cotangent and rematerialized
-d_M in the post-pass was considered and rejected: the post-pass remat
-materializes (chunk*B, T_pad, datt) feature tensors whose HBM round
-trips cost more than the d_M stream saves from the scan.
+accumulated IN-KERNEL in EXACT fp32 — always: a round-3 variant that
+recovered it by summing the bf16-rounded d_M stack was root-caused (via
+the tone-corpus quality gate + a hybrid bisect) as a training-quality
+drift and DELETED; shapes whose fp32 accumulator exceeds the VMEM
+envelope (``bwd_supported``) take the XLA custom-VJP backward instead.
+An alternative that emitted only the ~130x smaller softmax cotangent
+and rematerialized d_M in the post-pass was considered and rejected:
+the post-pass remat materializes (chunk*B, T_pad, datt) feature tensors
+whose HBM round trips cost more than the d_M stream saves from the
+scan.
 
 Numerics vs the XLA forward (``decoder_vjp._forward``): forward math is
 the same op chain with fp32 accumulation where the XLA bf16 path
@@ -65,9 +67,10 @@ keep bits (exact) and scaled in-kernel by the static fp32 1/(1-p), the
 same fp32 product the scale-mask formulation computes — so the dropout
 pattern is bit-identical to the XLA scan's.
 
-Envelope: bf16 compute, per-shard batch a multiple of 8 and <= 128,
-T_in <= 256 (<= 192 when B > 64: the backward's resident set at
-B=128/T=256 exceeds VMEM), and (prenet_dim, encoder_embedding_dim,
+Envelope: bf16 compute, trace-time batch a multiple of 8 and <= 128
+(or a multiple of 128 up to 512: uniform batch tiles), T_in <= 256
+(<= 192 when the batch tile exceeds 64 rows: the backward's resident
+set at B=128/T=256 exceeds VMEM), and (prenet_dim, encoder_embedding_dim,
 attention_rnn_dim, decoder_rnn_dim, attention_dim) all multiples of 128
 (the default 256/512/1024/1024/128 config qualifies). ``supported()``
 reports eligibility; callers fall back to the XLA scan otherwise.
@@ -154,39 +157,46 @@ def _batch_fits(dims: ScanDims, b: int) -> bool:
     return (dims.t_pad <= t_cap and b % 8 == 0 and b <= 512 and uniform)
 
 
+# fp32 in-kernel d_processed accumulator envelope: per-tile rows x t_pad.
+# Shared by bwd_supported() and _bwd_scan_call so the gate and the kernel
+# can never disagree (ADVICE r3: a per-shard gate candidate once accepted
+# shapes the trace-time kernel then built WITHOUT the fp32 accumulator).
+_FP32_DPROC_CAP = 128 * 128
+
+
+def _fp32_dproc_fits(dims: ScanDims, batch: int) -> bool:
+    return min(batch, 128) * dims.t_pad <= _FP32_DPROC_CAP
+
+
 def bwd_supported(cfg: Tacotron2Config, t_in: int, batch: int) -> bool:
     """Whether the BACKWARD kernel may be used for this shape: the
     forward envelope plus the fp32 in-kernel d_processed accumulator
-    (per-tile rows x t_pad <= 128x128). The bf16 d_M fallback sum was
-    root-caused as a training-quality drift (tone-corpus gate: late
-    gate, 8/11 tones) — the backward kernel only runs where the exact
-    fp32 accumulation fits; other shapes take the XLA custom-VJP
-    backward."""
+    (per-tile rows x t_pad within ``_FP32_DPROC_CAP``). A bf16 d_M
+    fallback sum existed in round 3 and was root-caused as a
+    training-quality drift (tone-corpus gate: late gate, 8/11 tones);
+    it has been REMOVED — the backward kernel only runs where the exact
+    fp32 accumulation fits, and every other shape takes the XLA
+    custom-VJP backward.
+
+    ``batch`` is the TRACE-TIME batch — the shape the kernel is built
+    with (under the GSPMD-jitted train step that is the global batch).
+    """
     if not supported(cfg, t_in, batch):
         return False
-    dims = scan_dims(cfg, t_in)
-    if cfg.mesh_shape and tuple(cfg.mesh_shape) != (1, 1):
-        dp = max(1, cfg.mesh_shape[0])
-    else:
-        dp = max(1, jax.device_count())
-    candidates = [batch]
-    if dp > 1 and batch % dp == 0:
-        candidates.append(batch // dp)
-    return any(_batch_fits(dims, b)
-               and min(b, 128) * dims.t_pad <= 128 * 128
-               for b in candidates)
+    return _fp32_dproc_fits(scan_dims(cfg, t_in), batch)
 
 
 def supported(cfg: Tacotron2Config, t_in: int, batch: int) -> bool:
     """Whether this (cfg, shapes) combination fits the kernel envelope.
 
-    ``batch`` is the global batch. Under a dp-sharded step the kernel
-    sees the per-shard slice, so the check accepts if EITHER the global
-    batch or the per-shard batch fits (ADVICE r2); dp follows the
-    mesh convention (parallel/mesh.py): mesh_shape=(1,1), the default,
-    means "all local devices on dp". An unsharded caller whose global
-    batch only fits per-shard would fail the Mosaic compile loudly
-    rather than silently computing wrong shapes.
+    ``batch`` is the TRACE-TIME batch — the batch dimension of the
+    arrays actually passed to the kernel, which is what the Pallas grid
+    and VMEM plan are built from. Under the GSPMD-jitted train step the
+    whole step is traced at GLOBAL shapes, so callers pass the global
+    batch. (Round 2/3 additionally accepted shapes whose PER-SHARD
+    slice fits; that gate disagreed with the kernel build and could
+    drive Mosaic into over-VMEM compiles — ADVICE r3 — so the gate now
+    matches the build exactly.)
     """
     dims = scan_dims(cfg, t_in)
     aligned = all(x % 128 == 0 for x in
@@ -195,14 +205,7 @@ def supported(cfg: Tacotron2Config, t_in: int, batch: int) -> bool:
             and cfg.decoder_interleave <= 1 and aligned
             and dims.ks % 2 == 1 and dims.ks <= 2 * WOFF + 1):
         return False
-    if cfg.mesh_shape and tuple(cfg.mesh_shape) != (1, 1):
-        dp = max(1, cfg.mesh_shape[0])
-    else:
-        dp = max(1, jax.device_count())
-    candidates = [batch]
-    if dp > 1 and batch % dp == 0:
-        candidates.append(batch // dp)
-    return any(_batch_fits(dims, b) for b in candidates)
+    return _batch_fits(dims, batch)
 
 
 # ------------------------------------------------------------- packing
@@ -406,6 +409,12 @@ def _scan_call(w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat, emask,
                p_att: float, p_dec: float, interpret: bool):
     d = dims
     T_steps, B, _ = prenet_steps.shape
+    if not _batch_fits(d, B):
+        raise ValueError(
+            f"train_scan forward kernel built with trace-time batch {B}, "
+            f"t_pad {d.t_pad}, which is outside the envelope "
+            f"(_batch_fits) — gate calls on supported() with the batch "
+            f"actually passed to the kernel")
     Bt = B if B <= 128 else 128   # batch tile rows (uniform tiles)
     nb = B // Bt
     dtype = jnp.bfloat16
@@ -521,8 +530,7 @@ def pack_bwd_weights(core_params, dims: ScanDims, dtype=jnp.bfloat16):
 
 
 def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
-                     p_att: float, p_dec: float, dtype,
-                     fp32_dproc: bool):
+                     p_att: float, p_dec: float, dtype):
     d = dims
     T = d.t_pad
     W = d.w_win
@@ -557,9 +565,8 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
             (next(it) for _ in range(13))
         katt_r = next(it) if dropout else None
         kdec_r = next(it) if dropout else None
-        (dga_o, dgd_o, dpre_o, dctx_o, dq_o, dm_o, dv_o) = \
-            (next(it) for _ in range(7))
-        dproc_o = next(it) if fp32_dproc else None
+        (dga_o, dgd_o, dpre_o, dctx_o, dq_o, dm_o, dv_o, dproc_o) = \
+            (next(it) for _ in range(8))
         (c_dah, c_dac, c_ddh, c_ddc, c_dw, c_dwc, c_dctx,
          cat, wp_s, wc_s, acc_w, acc_wc) = (next(it) for _ in range(12))
 
@@ -586,11 +593,11 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
         def _():
             dv_o[:] = jnp.zeros_like(dv_o)
 
-        if fp32_dproc:
-            # per-batch-tile block: zero at each tile's chain start
-            @pl.when(first)
-            def _():
-                dproc_o[:] = jnp.zeros_like(dproc_o)
+        # fp32 d_processed accumulator is a per-batch-tile block: zero it
+        # at each tile's chain start
+        @pl.when(first)
+        def _():
+            dproc_o[:] = jnp.zeros_like(dproc_o)
 
         # previous-step saved state; ALL-ZERO initial state at t=0
         zmask = jnp.where(last, 0.0, 1.0)
@@ -640,19 +647,13 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
                              rep1[:], preferred_element_type=f32)
             dfeat = de_rep * vrep[0]
             dm = dfeat * (1.0 - feat * feat)
-            # d_processed is NOT accumulated here (round 3): it equals
-            # the step-sum of the emitted d_M stack, folded into the
-            # post-pass's chunked read (attention_param_grads) — saves a
-            # (B, T*datt) fp32 VMEM accumulator that pushed the
-            # T_pad=192, B=128 compile over the VMEM budget.
             dv_o[0:1, :] = dv_o[0:1, :] + jnp.sum(
                 feat * de_rep, axis=0, keepdims=True)
-            if fp32_dproc:
-                # fp32 in-kernel accumulation (round-3 quality suspect:
-                # summing the bf16-rounded d_M stack instead was the
-                # r3 VMEM trade; restored where VMEM allows)
-                dproc_o[:, i * d.ttd:(i + 1) * d.ttd] = (
-                    dproc_o[:, i * d.ttd:(i + 1) * d.ttd] + dm)
+            # d_processed: EXACT fp32 in-kernel accumulation — the bf16
+            # d_M stack sum it replaced was the round-3 training-quality
+            # root cause (late gate, 8/11 tones) and is gone.
+            dproc_o[:, i * d.ttd:(i + 1) * d.ttd] = (
+                dproc_o[:, i * d.ttd:(i + 1) * d.ttd] + dm)
             dm_c = dm.astype(dtype)
             dm_o[0, :, i * d.ttd:(i + 1) * d.ttd] = dm_c
             dcat = jnp.dot(dm_c, bandt[:], preferred_element_type=f32)
@@ -703,16 +704,19 @@ def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
     nb = B // Bt
     dtype = jnp.bfloat16
     f32 = jnp.float32
-    # fp32 in-kernel d_processed accumulation where the (Bt, T*datt) f32
-    # buffer fits VMEM (Bt*t_pad bounded by the B=128/T=128 case, the
-    # largest that compiles alongside the backward's resident set);
-    # larger shapes would fall back to the bf16 d_M post-pass sum — but
-    # decoder_vjp gates the backward kernel on bwd_supported() so the
-    # bf16 path (the root cause of the round-3 training-quality drift)
-    # is never the training path
-    fp32_dproc = Bt * d.t_pad <= 128 * 128
-    kern = _make_bwd_kernel(d, Bt, T_steps, dropout, p_att, p_dec, dtype,
-                            fp32_dproc)
+    # The fp32 in-kernel d_processed accumulator is MANDATORY: the bf16
+    # d_M post-pass sum it once fell back to was root-caused as the
+    # round-3 training-quality drift and removed. bwd_supported() gates
+    # on the same trace-time (Bt, t_pad) via _fp32_dproc_fits, so this
+    # raise is only reachable by calling backward_chain directly with an
+    # off-envelope shape.
+    if not _fp32_dproc_fits(d, B):
+        raise ValueError(
+            f"backward kernel requires the fp32 d_processed accumulator: "
+            f"trace-time batch tile {Bt} x t_pad {d.t_pad} exceeds "
+            f"{_FP32_DPROC_CAP}; use the XLA custom-VJP backward for "
+            f"this shape (decoder_vjp gates on bwd_supported)")
+    kern = _make_bwd_kernel(d, Bt, T_steps, dropout, p_att, p_dec, dtype)
 
     const = lambda shape: pl.BlockSpec(
         shape, lambda b, t: tuple(0 for _ in shape),
@@ -758,12 +762,10 @@ def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
         jax.ShapeDtypeStruct((T_steps, B, d.t_pad * d.datt),
                              dtype),                           # d_M
         jax.ShapeDtypeStruct((8, d.ttd), f32),                 # d_v acc
+        jax.ShapeDtypeStruct((B, d.t_pad * d.datt), f32),      # d_proc
     ]
     out_specs = [rev(o.shape[1:]) for o in outs[:6]]
-    out_specs += [const(outs[6].shape)]
-    if fp32_dproc:
-        outs.append(jax.ShapeDtypeStruct((B, d.t_pad * d.datt), f32))
-        out_specs.append(bconst((B, d.t_pad * d.datt)))
+    out_specs += [const(outs[6].shape), bconst(outs[7].shape)]
 
     scratch = [
         pltpu.VMEM((Bt, d.a), f32), pltpu.VMEM((Bt, d.a), f32),
@@ -833,37 +835,29 @@ def backward_chain(core_params, res, memory, processed, mask, scan_rng,
         d_dec_h_out.astype(f32), d_ctx_out.astype(f32), dalign,
         katt, kdec, dims, dropout_active, cfg.p_attention_dropout,
         cfg.p_decoder_dropout, interpret)
-    if len(outs) == 8:   # fp32 in-kernel d_processed (t_pad <= 128)
-        (dga_st, dgd_st, dpre_st, dctx_st, dq_st, dm_st, dv_acc,
-         dproc_acc) = outs
-    else:
-        (dga_st, dgd_st, dpre_st, dctx_st, dq_st, dm_st, dv_acc) = outs
-        dproc_acc = None
+    (dga_st, dgd_st, dpre_st, dctx_st, dq_st, dm_st, dv_acc,
+     dproc_acc) = outs
 
-    d_attp, d_proc_flat = attention_param_grads(
-        core_params, dims, att_h, w_pad, wcum_prev, dq_st, dm_st, dv_acc,
-        skip_dproc=dproc_acc is not None)
-    if dproc_acc is not None:
-        d_proc_flat = dproc_acc
-    d_processed = d_proc_flat.reshape(B, T, dims.datt)[:, :t_in].astype(
+    d_attp = attention_param_grads(
+        core_params, dims, att_h, w_pad, wcum_prev, dq_st, dm_st, dv_acc)
+    d_processed = dproc_acc.reshape(B, T, dims.datt)[:, :t_in].astype(
         processed.dtype)
     return dga_st, dgd_st, dpre_st, dctx_st, d_processed, d_attp
 
 
 def attention_param_grads(core_params, dims: ScanDims, att_h_stack,
                           w_prev_unshifted, wcum_prev, dq_st, dm_st,
-                          dv_acc, skip_dproc: bool = False):
+                          dv_acc):
     """Hoisted attention parameter gradients from the emitted stacks.
 
-    Returns (attention-params gradient subtree, flat d_processed).
+    Returns the attention-params gradient subtree. (d_processed comes
+    from the backward kernel's exact fp32 in-kernel accumulator, never
+    from summing the bf16 d_M stack here — the round-3 quality finding.)
 
     d_Wq from (att_h, d_q); d_v from the in-kernel accumulator; the
     location conv/dense gradients from the t-major d_M stack via the
     chain d_loc -> (d_F, F) with the conv expressed over the T dim —
     chunked over decoder steps to bound the (x, T, nF) transients.
-    d_processed (= the step-sum of d_M) rides the same chunked read
-    instead of occupying a (B, T*datt) fp32 VMEM accumulator in the
-    backward kernel.
     """
     from jax import lax
     T = dims.t_pad
@@ -894,12 +888,9 @@ def attention_param_grads(core_params, dims: ScanDims, att_h_stack,
     csz = T_steps if T_steps < 128 else 64
     d_ld = jnp.zeros((nF, dims.datt), f32)
     d_ck = jnp.zeros((ks, 2, nF), f32)
-    d_proc = jnp.zeros((B, T * dims.datt), f32)
     for start in range(0, T_steps, csz):
         sl = slice(start, min(start + csz, T_steps))
         x = (sl.stop - sl.start) * B
-        if not skip_dproc:  # kernel provided exact fp32 d_processed
-            d_proc = d_proc + jnp.sum(dm_st[sl].astype(f32), axis=0)
         dm = dm_st[sl].reshape(x, T, dims.datt)            # (x, T, datt)
         wcat = jnp.stack([w_prev[sl].reshape(x, T),
                           wcum_prev[sl].reshape(x, T)],
@@ -923,4 +914,4 @@ def attention_param_grads(core_params, dims: ScanDims, att_h_stack,
         "v": {"kernel": d_v},
         "location_conv": {"kernel": d_ck},
         "location_dense": {"kernel": d_ld},
-    }, d_proc
+    }
