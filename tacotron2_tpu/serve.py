@@ -66,9 +66,13 @@ class BatchingSynthesizer:
             plain_lstms = all(
                 "wi" in self.params["decoder"][k]
                 for k in ("attention_rnn", "decoder_rnn"))
-            if plain_lstms and db.batch_supported(
-                    self.config, max(self.config.text_buckets),
-                    max_batch):
+            # pack once if ANY bucket is eligible (the packed layout is
+            # T_in-independent); _infer_fn re-checks batch_supported per
+            # bucket, so an oversized bucket (t_pad > 512) falls back to
+            # the XLA path without disabling the kernel elsewhere
+            if plain_lstms and any(
+                    db.batch_supported(self.config, t, max_batch)
+                    for t in self.config.text_buckets):
                 kdtype = self.config.jax_compute_dtype or jnp.float32
                 self._packed = db.pack_batch_decoder_params(
                     self.params, self.config, dtype=kdtype)
@@ -106,6 +110,10 @@ class BatchingSynthesizer:
         if t_text not in self._jitted:
             cfg = self.config
             packed = self._packed
+            if packed is not None:
+                from tacotron2_tpu.kernels import decoder_batch as db
+                if not db.batch_supported(cfg, t_text, self.max_batch):
+                    packed = None  # this bucket exceeds the envelope
 
             def run(params, stats, packed, text, lengths):
                 if packed is not None:  # static: bound at trace time

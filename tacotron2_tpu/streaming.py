@@ -119,14 +119,17 @@ class StreamingSynthesizer:
 
         # Fused Pallas decoder chunk (kernels/decoder_step.py): one kernel
         # per chunk, weights VMEM-resident — ~5x the XLA chunk at B=1
-        # (PERFORMANCE.md). Requires deterministic prenet and unquantized
-        # params (it packs its own layout). Auto-on when eligible.
+        # (PERFORMANCE.md). Prenet dropout (the reference's model.py:99
+        # inference default) streams keep masks into the kernel with the
+        # exact offline key derivation, so fused streaming honors it
+        # (round 4; round 3 had to fall back to the XLA chunks). Only
+        # int8-quantized params keep the XLA path (the fused packer
+        # consumes the unquantized layout). Auto-on when eligible.
         quantized = "w_q" in params["decoder"]["attention_rnn"]
         if fused is None:
-            fused = deterministic and not quantized
-        if fused and (not deterministic or quantized):
-            raise ValueError("fused streaming needs a deterministic prenet "
-                             "and unquantized params")
+            fused = not quantized
+        if fused and quantized:
+            raise ValueError("fused streaming needs unquantized params")
         self._fused = fused
         self._packed = None
         if fused:
@@ -138,6 +141,8 @@ class StreamingSynthesizer:
 
         self._encode_jit = {}  # text bucket -> fn
         self._chunk_jit = {}
+        self._batch_chunk_jit = {}  # (bucket, B) -> fn
+        self._packed_batch = None   # lazy (kernels/decoder_batch.py layout)
         self._postnet_fn = None
         self._vocoder_fn = None
 
@@ -171,18 +176,23 @@ class StreamingSynthesizer:
                 fk = self._fused_kernel
                 interp = jax.default_backend() == "cpu"
 
-                def run_fused(packed, carry, memory, processed, lengths):
+                def run_fused(packed, carry, memory, processed, lengths,
+                              rng):
                     mask = length_mask(lengths, memory.shape[1])
                     return fk.decode_chunk_fused(
                         packed, carry, memory, processed, mask, cfg,
                         chunk_steps=K,
                         dtype=cfg.jax_compute_dtype or jnp.float32,
-                        interpret=interp)
+                        interpret=interp, rng=rng)
 
                 jitted = jax.jit(run_fused)
+                # decode_chunk nulls rng itself when the config disables
+                # inference dropout; mirror that for the fused kernel
+                drop_ok = cfg.prenet_dropout_at_inference
                 self._chunk_jit[t_text] = (
                     lambda carry, memory, processed, lengths, rng=None:
-                    jitted(self._packed, carry, memory, processed, lengths))
+                    jitted(self._packed, carry, memory, processed, lengths,
+                           rng if drop_ok else None))
                 return self._chunk_jit[t_text]
 
             def run(params, carry, memory, processed, lengths, rng):
@@ -197,6 +207,53 @@ class StreamingSynthesizer:
                 lambda carry, memory, processed, lengths, rng=None:
                 jitted(self.params, carry, memory, processed, lengths, rng))
         return self._chunk_jit[t_text]
+
+    def _batch_chunk(self, t_text: int, b: int):
+        """Chunk fn for B concurrent sessions: the genuinely batched
+        fused kernel (kernels/decoder_batch.py) when the config/shape is
+        in its envelope, else the (already batched) XLA decode_chunk."""
+        key = (t_text, b)
+        if key not in self._batch_chunk_jit:
+            cfg = self.config
+            K = self.chunk_steps
+            from tacotron2_tpu.kernels import decoder_batch as db
+            use_kernel = self._fused and db.batch_supported(cfg, t_text, b)
+            drop_ok = cfg.prenet_dropout_at_inference
+
+            if use_kernel:
+                if self._packed_batch is None:
+                    self._packed_batch = db.pack_batch_decoder_params(
+                        self.params, cfg,
+                        dtype=cfg.jax_compute_dtype or jnp.float32)
+                interp = jax.default_backend() == "cpu"
+
+                def run_b(packed, carry, memory, processed, lengths, rng):
+                    mask = length_mask(lengths, memory.shape[1])
+                    return db.decode_chunk_batch(
+                        packed, carry, memory, processed, mask, cfg,
+                        chunk_steps=K,
+                        dtype=cfg.jax_compute_dtype or jnp.bfloat16,
+                        interpret=interp, rng=rng)
+
+                jitted = jax.jit(run_b)
+                self._batch_chunk_jit[key] = (
+                    lambda carry, memory, processed, lengths, rng=None:
+                    jitted(self._packed_batch, carry, memory, processed,
+                           lengths, rng if drop_ok else None))
+            else:
+                def run(params, carry, memory, processed, lengths, rng):
+                    mask = length_mask(lengths, memory.shape[1])
+                    return tacotron2.decode_chunk(
+                        params, carry, memory, processed, mask, cfg,
+                        chunk_steps=K, rng=rng,
+                        compute_dtype=cfg.jax_compute_dtype)
+
+                jitted = jax.jit(run)
+                self._batch_chunk_jit[key] = (
+                    lambda carry, memory, processed, lengths, rng=None:
+                    jitted(self.params, carry, memory, processed, lengths,
+                           rng))
+        return self._batch_chunk_jit[key]
 
     def _postnet(self):
         if self._postnet_fn is None:
@@ -319,6 +376,132 @@ class StreamingSynthesizer:
                                   mel_offset=v - n_emit,
                                   done=finished_all())
                 if n_total is not None and v >= n_total:
+                    break
+
+            if finished_all():
+                return
+
+    def stream_batch(self, texts,
+                     rng: Optional[jax.Array] = None
+                     ) -> Iterator[tuple]:
+        """Stream up to 8 concurrent utterances in lockstep; yields
+        ``(row, StreamEvent)`` pairs. Decoding runs through the batched
+        fused decoder kernel (kernels/decoder_batch.py) when eligible,
+        and postnet/vocoder windows run batched over the rows; each
+        row's emitted frames/samples equal its offline pipeline output
+        exactly (same clamped-window argument as ``stream``). Rows that
+        gate-latch early stop emitting but ride the batch until every
+        row finishes (inherent to lockstep batching)."""
+        cfg = self.config
+        B = len(texts)
+        if not 1 <= B <= 8:
+            raise ValueError("stream_batch covers 1..8 sessions")
+        r = cfg.n_frames_per_step
+        n_mels = cfg.n_mel_channels
+        C, P, M = self.C, self.P, self.M
+        T_buf, Wp, Wv = self.T_buf, self.Wp, self.Wv
+        hop = (self.vocoder_cfg.hop_length if self.vocoder_cfg is not None
+               else cfg.hop_length)
+
+        ids_list = [text_to_sequence(t, cfg.text_cleaners) for t in texts]
+        bucket = max(text_bucket(len(i), cfg.text_buckets)
+                     for i in ids_list)
+        text_arr = np.zeros((B, bucket), np.int32)
+        for i, ids in enumerate(ids_list):
+            text_arr[i, :len(ids)] = ids[:bucket]
+        lengths = jnp.asarray([min(len(i), bucket) for i in ids_list],
+                              jnp.int32)
+
+        pre_rng = None
+        if rng is not None:
+            _, pre_rng = jax.random.split(rng)  # mirror tacotron2.infer
+
+        memory, processed, carry = self._encode(bucket)(
+            jnp.asarray(text_arr), lengths)
+
+        n_chunks = -(-self.max_steps // self.chunk_steps)
+        cap_frames = n_chunks * C
+        raw = np.zeros((B, cap_frames, n_mels), np.float32)
+        post = np.zeros((B, cap_frames, n_mels), np.float32)
+
+        n_avail = 0
+        # per-row final frame count; CAP_UNKNOWN until the row's gate
+        # latches (or the step cap ends decoding for everyone)
+        UNKNOWN = np.iinfo(np.int64).max
+        limit = np.full((B,), UNKNOWN, np.int64)
+        e = v = 0             # frames emitted (lockstep counters)
+        decoding = True
+        chunk_fn = self._batch_chunk(bucket, B)
+        postnet_fn = self._postnet()
+        vocode = self.vocoder_params is not None
+
+        def all_known() -> bool:
+            return bool((limit != UNKNOWN).all())
+
+        def finished_all() -> bool:
+            return (all_known() and e >= limit.max()
+                    and (not vocode or v >= limit.max()))
+
+        while True:
+            if decoding:
+                carry, (mel, _, _) = chunk_fn(carry, memory, processed,
+                                              lengths, pre_rng)
+                raw[:, n_avail:n_avail + C] = np.asarray(mel)
+                n_avail += C
+                fin = np.asarray(carry.finished)
+                lens = np.asarray(carry.lengths).astype(np.int64)
+                limit = np.where(fin,
+                                 np.minimum(lens, self.max_steps) * r,
+                                 limit)
+                if bool(fin.all()) or n_avail >= self.max_steps * r:
+                    decoding = False
+                    limit = np.minimum(lens, self.max_steps) * r
+                    for b in range(B):
+                        # gate-never-fired rows: frames past the cap are
+                        # zero 'SAME' padding offline
+                        raw[b, limit[b]:] = 0.0
+
+            while (e + C + P <= n_avail) or (not decoding
+                                             and e < limit.max()):
+                s = _clamp_window(e - P, Wp, T_buf)
+                out = np.asarray(
+                    postnet_fn(jnp.asarray(raw[:, s:s + Wp])))
+                for b in range(B):
+                    n_emit = int(min(C, max(limit[b] - e, 0),
+                                     cap_frames - e))
+                    if n_emit <= 0:
+                        continue
+                    post[b, e:e + n_emit] = out[b, e - s:e - s + n_emit]
+                    done_b = (limit[b] != UNKNOWN
+                              and e + n_emit >= limit[b]
+                              and not vocode)
+                    yield b, StreamEvent(
+                        mel=post[b, e:e + n_emit].copy(), audio=None,
+                        mel_offset=e, done=done_b)
+                e += C
+                if not decoding and e >= limit.max():
+                    break
+
+            while vocode and (
+                    (v + C + M <= e) or
+                    (not decoding and e >= limit.max()
+                     and v < limit.max())):
+                s = _clamp_window(v - M, Wv, T_buf)
+                audio = np.asarray(
+                    self._vocoder()(jnp.asarray(post[:, s:s + Wv])))
+                for b in range(B):
+                    n_emit = int(min(C, max(limit[b] - v, 0),
+                                     cap_frames - v))
+                    if n_emit <= 0:
+                        continue
+                    samples = audio[b, (v - s) * hop:
+                                    (v - s + n_emit) * hop].copy()
+                    done_b = (limit[b] != UNKNOWN
+                              and v + n_emit >= limit[b])
+                    yield b, StreamEvent(mel=None, audio=samples,
+                                         mel_offset=v, done=done_b)
+                v += C
+                if not decoding and v >= limit.max():
                     break
 
             if finished_all():

@@ -94,6 +94,53 @@ def test_fused_kernel_path_engages(monkeypatch):
         s.close()
 
 
+def test_oversized_bucket_gates_per_bucket(monkeypatch):
+    """Round 4 (ADVICE r3): one oversized text bucket (t_pad > 512) must
+    not disable the fused decoder for the other buckets — gating is per
+    bucket, with the oversized bucket taking the XLA path."""
+    from tacotron2_tpu.kernels import decoder_batch as db
+
+    cfg = Tacotron2Config(
+        n_symbols=148, symbols_embedding_dim=128,
+        encoder_embedding_dim=128, encoder_n_convolutions=1,
+        attention_rnn_dim=128, decoder_rnn_dim=128, prenet_dim=128,
+        attention_dim=128, attention_location_n_filters=4,
+        attention_location_kernel_size=7, n_mel_channels=16,
+        max_decoder_steps=6, text_buckets=(16, 576),
+        compute_dtype="float32")
+    assert not db.batch_supported(cfg, 576, 2)
+    assert db.batch_supported(cfg, 16, 2)
+    calls = []
+    real = db.decode_autoregressive_batch
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(db, "decode_autoregressive_batch", spy)
+    params, stats = init_params(jax.random.PRNGKey(0), cfg)
+    s = BatchingSynthesizer(params, stats, cfg, max_batch=2,
+                            max_wait_ms=10)
+    try:
+        assert s._packed is not None, \
+            "an eligible bucket exists; packing must happen"
+        mel, _, n = s.submit("hi").result(timeout=300)  # 16-bucket
+        assert calls, "eligible bucket should use the fused decoder"
+        assert np.isfinite(mel).all()
+        # the oversized bucket traces the XLA path without error
+        fn = s._infer_fn(576)
+        import jax.numpy as jnp
+        n_calls = len(calls)
+        text = np.zeros((2, 576), np.int32)
+        text[:, :3] = 5
+        mel576, _, _ = fn(jnp.asarray(text),
+                          jnp.asarray([3, 3], np.int32))
+        assert len(calls) == n_calls, "oversized bucket must stay XLA"
+        assert np.isfinite(np.asarray(mel576)).all()
+    finally:
+        s.close()
+
+
 def test_int8_quantized_params_fall_back_to_xla_path():
     """quantize_for_serving params ({w_q, scale, bias} LSTM trees) cannot
     feed the fused packer — the synthesizer must detect them and keep

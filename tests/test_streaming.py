@@ -141,6 +141,121 @@ def test_streaming_pipeline_matches_offline(params_stats, gate_threshold):
         audio_s, audio_off[0, :n * HG_CFG.hop_length], atol=1e-4)
 
 
+def test_streaming_fused_dropout_matches_offline(params_stats):
+    """Round 4: fused streaming honors the reference's inference-time
+    prenet dropout (model.py:99) — streamed mel equals offline infer with
+    the same rng, dropout ACTIVE (round 3 raised on this combination)."""
+    params, stats = params_stats
+    cfg = CFG.replace(gate_threshold=0.3)
+    synth = StreamingSynthesizer(params, stats, cfg, chunk_steps=8,
+                                 deterministic=False)
+    assert synth._fused  # the combination round 3 refused
+    rng = jax.random.PRNGKey(11)
+    events = list(synth.stream("hello world", rng=rng))
+    assert events and events[-1].done
+    mel_s = np.concatenate([e.mel for e in events if e.mel is not None])
+
+    ids = text_to_sequence("hello world", cfg.text_cleaners)
+    bucket = text_bucket(len(ids), cfg.text_buckets)
+    arr = np.zeros((1, bucket), np.int32)
+    arr[0, :len(ids)] = ids
+    res = m.infer(params, stats, jnp.asarray(arr),
+                  jnp.asarray([len(ids)], jnp.int32), cfg, rng=rng)
+    n = int(res.mel_lengths[0])
+    assert mel_s.shape[0] == n
+    np.testing.assert_allclose(mel_s, np.asarray(res.mel_postnet)[0, :n],
+                               atol=1e-4)
+
+
+def test_stream_batch_matches_offline(params_stats):
+    """stream_batch (XLA fallback geometry): every row's streamed mel and
+    audio equal the batched offline pipeline, with per-row done events."""
+    params, stats = params_stats
+    cfg = CFG.replace(gate_threshold=0.3)
+    gp = hifigan.init_generator(jax.random.PRNGKey(1), HG_CFG)
+    synth = StreamingSynthesizer(params, stats, cfg, vocoder_params=gp,
+                                 vocoder_cfg=HG_CFG, chunk_steps=8)
+    texts = ["hello world", "a somewhat longer sentence", "hi"]
+    B = len(texts)
+    mels = {b: [] for b in range(B)}
+    audios = {b: [] for b in range(B)}
+    done_rows = set()
+    offsets = {b: [] for b in range(B)}
+    for b, ev in synth.stream_batch(texts):
+        if ev.mel is not None:
+            mels[b].append(ev.mel)
+        if ev.audio is not None:
+            audios[b].append(ev.audio)
+            offsets[b].append(ev.mel_offset)
+        if ev.done:
+            done_rows.add(b)
+    assert done_rows == set(range(B))
+    assert all(offsets[b] == sorted(offsets[b]) for b in range(B))
+
+    dcfg = synth.config  # deterministic prenet, as the synthesizer uses
+    ids_list = [text_to_sequence(t, dcfg.text_cleaners) for t in texts]
+    bucket = max(text_bucket(len(i), dcfg.text_buckets) for i in ids_list)
+    arr = np.zeros((B, bucket), np.int32)
+    for i, ids in enumerate(ids_list):
+        arr[i, :len(ids)] = ids
+    lengths = jnp.asarray([len(i) for i in ids_list], jnp.int32)
+    res = m.infer(params, stats, jnp.asarray(arr), lengths, dcfg)
+    audio_off = np.asarray(hifigan.generator(gp, res.mel_postnet, HG_CFG))
+    for b in range(B):
+        n = int(res.mel_lengths[b])
+        mel_b = np.concatenate(mels[b])
+        audio_b = np.concatenate(audios[b])
+        assert mel_b.shape[0] == n
+        np.testing.assert_allclose(
+            mel_b, np.asarray(res.mel_postnet)[b, :n], atol=1e-4)
+        assert audio_b.shape[0] == n * HG_CFG.hop_length
+        np.testing.assert_allclose(
+            audio_b, audio_off[b, :n * HG_CFG.hop_length], atol=1e-4)
+
+
+def test_stream_batch_kernel_path():
+    """stream_batch through the BATCHED fused kernel (interpret mode at
+    the 128-aligned geometry), prenet dropout active: per-row parity with
+    the batched offline XLA infer under the same rng."""
+    cfg = Tacotron2Config(
+        n_symbols=40, symbols_embedding_dim=128, encoder_embedding_dim=128,
+        encoder_n_convolutions=1, attention_rnn_dim=128,
+        decoder_rnn_dim=128, prenet_dim=128, attention_dim=128,
+        attention_location_n_filters=4, attention_location_kernel_size=7,
+        n_mel_channels=16, max_decoder_steps=16, gate_threshold=0.3,
+        postnet_embedding_dim=32, postnet_n_convolutions=2,
+        text_buckets=(16,), compute_dtype="float32")
+    params, stats = m.init_params(jax.random.PRNGKey(0), cfg)
+    synth = StreamingSynthesizer(params, stats, cfg, chunk_steps=8,
+                                 deterministic=False, fused=True)
+    texts = ["ab cd ef", "abcdef ab"]
+    rng = jax.random.PRNGKey(5)
+    mels = {0: [], 1: []}
+    for b, ev in synth.stream_batch(texts, rng=rng):
+        if ev.mel is not None:
+            mels[b].append(ev.mel)
+    assert synth._packed_batch is not None  # the kernel path engaged
+
+    dcfg = synth.config
+    ids_list = [text_to_sequence(t, dcfg.text_cleaners) for t in texts]
+    bucket = max(text_bucket(len(i), dcfg.text_buckets) for i in ids_list)
+    arr = np.zeros((2, bucket), np.int32)
+    for i, ids in enumerate(ids_list):
+        arr[i, :len(ids)] = ids
+    lengths = jnp.asarray([min(len(i), bucket) for i in ids_list],
+                          jnp.int32)
+    res = m.infer(params, stats, jnp.asarray(arr), lengths, dcfg, rng=rng)
+    for b in range(2):
+        n = int(res.mel_lengths[b])
+        mel_b = np.concatenate(mels[b])
+        assert mel_b.shape[0] == n
+        # 1e-3: kernel-vs-XLA per-step parity is 1e-4
+        # (test_decoder_batch) but this compares after a 16-step AR roll
+        # plus postnet, where the per-step difference compounds
+        np.testing.assert_allclose(
+            mel_b, np.asarray(res.mel_postnet)[b, :n], atol=1e-3)
+
+
 def test_streaming_mel_only(params_stats):
     """No vocoder: mel-only events, monotone offsets, done on the last."""
     params, stats = params_stats
