@@ -112,8 +112,15 @@ class Tacotron2Config:
     # eval prenet deterministically for a noise-free validation signal.
     eval_prenet_dropout: bool = True
     # Decoder scan unrolling: amortizes per-step loop overhead on TPU at
-    # the cost of compile time. 1 = no unroll.
-    decoder_scan_unroll: int = 1
+    # the cost of compile time. Applies to the XLA scan paths (the Pallas
+    # training kernels run the whole scan as one grid). 8 was optimal in
+    # the round-1 sweep under the custom-VJP backward (PERFORMANCE.md)
+    # and is the default since round 4 — the default config IS the fast
+    # path (the remaining bench.py deltas, batch_size=128 and
+    # prng_impl=unsafe_rbg, change semantics — batch recipe /
+    # reproducible dropout streams — so they stay opt-in; README
+    # documents the gap).
+    decoder_scan_unroll: int = 8
     # Rematerialize the decoder step in the backward pass (trade FLOPs for
     # HBM when training long sequences / large batches).
     remat_decoder: bool = False

@@ -179,6 +179,17 @@ def _make_kernel(dims, n: int, gate_logit: float, dropout: bool, dtype):
         mx = jnp.max(e_m, axis=1, keepdims=True)
         ex = jnp.exp(e_m - mx)
         wnew = ex / jnp.sum(ex, axis=1, keepdims=True)     # (8, T)
+        # Context via a fully unrolled lane-slice multiply-accumulate.
+        # Deliberate tradeoff (ADVICE r3): at T=512 this emits ~2*T
+        # small VPU ops into the Mosaic program — larger compile time /
+        # program size than a matmul formulation, but the MXU
+        # alternative (replicate wnew across e lanes with a (TT, TT*e)
+        # selector, log-tree lane reduction) costs ~4.3 GF-equivalent
+        # MXU time per step at M=8 (~20 us at peak) vs single-digit us
+        # for this loop (the whole B=8 step measured ~5 us/step at
+        # T=128, PERFORMANCE.md round 3), and per-row matvecs cannot
+        # ride the MXU without a lane->sublane relayout of memory. The
+        # batch_supported T_in <= 512 cap bounds the unroll.
         ctx = jnp.zeros((8, d.e), f32)
         for tt in range(T):
             ctx = ctx + wnew[:, tt:tt + 1] * mem[:, tt * d.e:

@@ -558,17 +558,18 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
 
     def kernel(*refs):
         it = iter(refs)
-        (wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc, mem) = \
+        (wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc, mem,
+         attc_l, decc_l, w_l) = (next(it) for _ in range(13))
+        (ga_r, gd_r, atth_r, attc_p_r, decc_p_r,
+         w_p_r, wcum_p_r, ddh_r, dctx_o_r, dalign_r) = \
             (next(it) for _ in range(10))
-        (ga_r, gd_r, atth_r, attc_r, attc_p_r, decc_r, decc_p_r,
-         w_r, w_p_r, wcum_p_r, ddh_r, dctx_o_r, dalign_r) = \
-            (next(it) for _ in range(13))
         katt_r = next(it) if dropout else None
         kdec_r = next(it) if dropout else None
         (dga_o, dgd_o, dpre_o, dctx_o, dq_o, dm_o, dv_o, dproc_o) = \
             (next(it) for _ in range(8))
         (c_dah, c_dac, c_ddh, c_ddc, c_dw, c_dwc, c_dctx,
-         cat, wp_s, wc_s, acc_w, acc_wc) = (next(it) for _ in range(12))
+         cat, wp_s, wc_s, acc_w, acc_wc,
+         s_attc, s_decc, s_w) = (next(it) for _ in range(15))
 
         pid = pl.program_id(1)      # grid = (batch_tiles, T_steps)
         first = pid == 0            # processes t = nsteps-1 (chain start)
@@ -586,6 +587,13 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
             cat[:] = jnp.zeros_like(cat)
             wp_s[:] = jnp.zeros_like(wp_s)   # margins stay zero
             wc_s[:] = jnp.zeros_like(wc_s)
+            # prime the single-fetch carries with the chain-start (last
+            # step's) saved state; each later step's "current" value is
+            # the previous iteration's prev-fetch, carried in scratch —
+            # halves the attc/decc/w stream fetches (round 4)
+            s_attc[:] = attc_l[:]
+            s_decc[:] = decc_l[:]
+            s_w[:] = w_l[:]
 
         # the d_v accumulator is shared across batch tiles: zero it only
         # once, at the very first grid iteration
@@ -611,7 +619,7 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
         if dropout:
             ddh_total = ddh_total * (kdec_r[0].astype(f32) * s_dec)
         dgd, ddc_prev = lstm_gates_bwd(gd_r[0].astype(f32), decc_p,
-                                       decc_r[0], ddh_total, c_ddc[:], d.d)
+                                       s_decc[:], ddh_total, c_ddc[:], d.d)
         dgd_c = dgd.astype(dtype)
         dxd = jnp.dot(dgd_c, wtd[:], preferred_element_type=f32)
         dctx_total = c_dctx[:] + dctx_o_r[0] + dxd[:, d.a:d.a + d.e]
@@ -625,9 +633,9 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
                 axis=1, keepdims=True))
         dw_from_ctx = jnp.concatenate(vals, axis=1)           # (B, T)
 
-        # ---- softmax backward (saved weights w_t) ----
+        # ---- softmax backward (saved weights w_t, carried) ----
         dw_total = c_dw[:] + c_dwc[:] + dalign_r[0] + dw_from_ctx
-        w_t = w_r[0]
+        w_t = s_w[:]
         s = jnp.sum(w_t * dw_total, axis=1, keepdims=True)
         de = w_t * (dw_total - s)                             # (B, T)
 
@@ -671,7 +679,7 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
         if dropout:
             dah_total = dah_total * (katt_r[0].astype(f32) * s_att)
         dga, dac_prev = lstm_gates_bwd(ga_r[0].astype(f32), attc_p,
-                                       attc_r[0], dah_total, c_dac[:], d.a)
+                                       s_attc[:], dah_total, c_dac[:], d.a)
         dga_c = dga.astype(dtype)
         dxa = jnp.dot(dga_c, wta[:], preferred_element_type=f32)
 
@@ -687,6 +695,11 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
         c_dw[:] = acc_w[:, WOFF:WOFF + T]
         c_dwc[:] = c_dwc[:] + acc_wc[:, WOFF:WOFF + T]
         c_dctx[:] = dxa[:, d.p:d.p + d.e]
+        # this step's prev-fetches become the next (earlier) step's
+        # current values — RAW, not zmasked (unused past the last step)
+        s_attc[:] = attc_p_r[0]
+        s_decc[:] = decc_p_r[0]
+        s_w[:] = w_p_r[0]
 
     return kernel
 
@@ -737,17 +750,22 @@ def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
         return pl.BlockSpec((1, Bt) + shape[1:], imap,
                             memory_space=pltpu.VMEM)
 
+    # chain-start (step T_steps-1) values prime the single-fetch carry
+    # scratches; attc/decc/w then stream ONCE per step (the t-1 prev
+    # fetch) instead of twice — round 4, exactness-preserving
+    attc_last, decc_last, w_last = attc[-1], decc[-1], w[-1]
     in_specs = [const(x.shape) for x in
                 (wta, wtd, wq, wqt, band, bandt, rep1, vrep)]
-    in_specs += [bconst(proc_flat.shape), bconst(mem_flat.shape)]
+    in_specs += [bconst(proc_flat.shape), bconst(mem_flat.shape),
+                 bconst(attc_last.shape), bconst(decc_last.shape),
+                 bconst(w_last.shape)]
     in_specs += [rev((B, 4 * d.a)), rev((B, 4 * d.d)), rev((B, d.a)),
-                 rev((B, d.a)), rev_prev((B, d.a)),
-                 rev((B, d.d)), rev_prev((B, d.d)),
-                 rev((B, d.t_pad)), rev_prev((B, d.t_pad)),
-                 rev((B, d.t_pad)),
+                 rev_prev((B, d.a)), rev_prev((B, d.d)),
+                 rev_prev((B, d.t_pad)), rev((B, d.t_pad)),
                  rev((B, d.d)), rev((B, d.e)), rev((B, d.t_pad))]
     inputs = [wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
-              mem_flat, ga, gd, atth, attc, attc, decc, decc, w, w,
+              mem_flat, attc_last, decc_last, w_last,
+              ga, gd, atth, attc, decc, w,
               wcum_p, ddh, dctx_out, dalign]
     if dropout:
         in_specs += [rev((B, d.a)), rev((B, d.d))]
@@ -777,6 +795,9 @@ def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
         pltpu.VMEM((Bt, d.t_pad + 2 * WOFF), f32),
         pltpu.VMEM((Bt, d.t_pad + 2 * WOFF), f32),
         pltpu.VMEM((Bt, d.t_pad + 2 * WOFF), f32),
+        pltpu.VMEM((Bt, d.a), f32),      # s_attc carry
+        pltpu.VMEM((Bt, d.d), f32),      # s_decc carry
+        pltpu.VMEM((Bt, d.t_pad), f32),  # s_w carry
     ]
     return pl.pallas_call(
         kern,

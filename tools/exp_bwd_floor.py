@@ -41,11 +41,14 @@ from tacotron2_tpu.config import Tacotron2Config
 from tacotron2_tpu.kernels import train_scan as ts
 
 B, T_IN = 128, 128
-T_STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+_nums = [a for a in sys.argv[1:] if a.isdigit()]
+T_STEPS = int(_nums[0]) if _nums else 512
 
 
 def sync(x):
-    return float(np.asarray(x).ravel()[0])
+    # transfer ONE element, not the array — the tunneled link makes a
+    # full np.asarray of a (T,B,4a) stack a multi-minute stall
+    return float(x.reshape(-1)[0])
 
 
 def timeit(fn, reps=15, warmup=2):
@@ -90,7 +93,7 @@ def make_inputs(cfg, dims):
 
 def stub_bwd_kernel_factory(dims, Bt, nsteps, dropout, p_att, p_dec, dtype):
     """Same ref signature as ts._make_bwd_kernel's kernel; trivial body."""
-    n_in = 10 + 13 + (2 if dropout else 0)
+    n_in = 13 + 10 + (2 if dropout else 0)
 
     def kernel(*refs):
         ins = refs[:n_in]
@@ -164,18 +167,30 @@ def bwd_call(core, memory, proc, res, cfg, stub: bool):
     ddh = res["ddh"].astype(f32)
     dctx_out = res["dctx"].astype(f32)
 
+    if not stub:
+        # the real kernel: go through the shipped call (keeps this tool
+        # in sync with train_scan's stream layout)
+        return ts._bwd_scan_call(
+            wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
+            mem_flat, ga, gd, atth, attc, decc, w_pad, wcum_prev,
+            ddh, dctx_out, dalign, katt, kdec, dims=d, dropout=True,
+            p_att=cfg.p_attention_dropout, p_dec=cfg.p_decoder_dropout,
+            interpret=False)
+
+    attc_last, decc_last, w_last = attc[-1], decc[-1], w_pad[-1]
     in_specs = [const(x.shape) for x in
                 (wta, wtd, wq, wqt, band, bandt, rep1, vrep)]
-    in_specs += [bconst(proc_flat.shape), bconst(mem_flat.shape)]
+    in_specs += [bconst(proc_flat.shape), bconst(mem_flat.shape),
+                 bconst(attc_last.shape), bconst(decc_last.shape),
+                 bconst(w_last.shape)]
     in_specs += [rev((B, 4 * d.a)), rev((B, 4 * d.d)), rev((B, d.a)),
-                 rev((B, d.a)), rev_prev((B, d.a)),
-                 rev((B, d.d)), rev_prev((B, d.d)),
-                 rev((B, d.t_pad)), rev_prev((B, d.t_pad)),
-                 rev((B, d.t_pad)),
+                 rev_prev((B, d.a)), rev_prev((B, d.d)),
+                 rev_prev((B, d.t_pad)), rev((B, d.t_pad)),
                  rev((B, d.d)), rev((B, d.e)), rev((B, d.t_pad))]
     inputs = [wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
-              mem_flat, ga, gd, atth, attc, attc, decc, decc, w_pad,
-              w_pad, wcum_prev, ddh, dctx_out, dalign]
+              mem_flat, attc_last, decc_last, w_last,
+              ga, gd, atth, attc, decc, w_pad,
+              wcum_prev, ddh, dctx_out, dalign]
     in_specs += [rev((B, d.a)), rev((B, d.d))]
     inputs += [katt, kdec]
 
@@ -202,6 +217,8 @@ def bwd_call(core, memory, proc, res, cfg, stub: bool):
         pltpu.VMEM((Bt, d.t_pad + 2 * ts.WOFF), f32),
         pltpu.VMEM((Bt, d.t_pad + 2 * ts.WOFF), f32),
         pltpu.VMEM((Bt, d.t_pad + 2 * ts.WOFF), f32),
+        pltpu.VMEM((Bt, d.a), f32), pltpu.VMEM((Bt, d.d), f32),
+        pltpu.VMEM((Bt, d.t_pad), f32),
     ]
     call = pl.pallas_call(
         kern, grid=(nb, T_STEPS), in_specs=in_specs, out_specs=out_specs,
@@ -305,17 +322,20 @@ def main():
     core, memory, proc, res = make_inputs(cfg, dims)
 
     out = {"B": B, "T_in": T_IN, "T_steps": T_STEPS}
-    for name, fn in [
-        ("bwd_real", functools.partial(bwd_call, core, memory, proc, res,
-                                       cfg, False)),
-        ("bwd_stub", functools.partial(bwd_call, core, memory, proc, res,
-                                       cfg, True)),
-        ("fwd_real", functools.partial(fwd_call, core, memory, proc, res,
-                                       cfg, False)),
-        ("fwd_stub", functools.partial(fwd_call, core, memory, proc, res,
-                                       cfg, True)),
-    ]:
-        jfn = jax.jit(fn)
+    which = [a for a in sys.argv[1:] if not a.isdigit()] or \
+        ["bwd_real", "bwd_stub", "fwd_real", "fwd_stub"]
+    table = {
+        "bwd_real": functools.partial(bwd_call, core, memory, proc, res,
+                                      cfg, False),
+        "bwd_stub": functools.partial(bwd_call, core, memory, proc, res,
+                                      cfg, True),
+        "fwd_real": functools.partial(fwd_call, core, memory, proc, res,
+                                      cfg, False),
+        "fwd_stub": functools.partial(fwd_call, core, memory, proc, res,
+                                      cfg, True),
+    }
+    for name in which:
+        jfn = jax.jit(table[name])
         ms = timeit(jfn)
         out[name] = {"ms": round(ms, 2),
                      "us_per_step": round(ms * 1e3 / T_STEPS, 2)}

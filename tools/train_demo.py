@@ -60,6 +60,19 @@ def main() -> None:
     parser.add_argument("--hparams", default=None,
                         help="extra config overrides, e.g. n_frames_per_step=2")
     args = parser.parse_args()
+    run(args.steps, args.outdir, batch=args.batch, hparams=args.hparams)
+
+
+def run(steps: int, outdir: str, batch: int = 32,
+        hparams: "str | None" = None) -> dict:
+    """Train on the tone corpus; returns (and writes) the summary dict.
+    Callable entry for the quality gate (tools/synthesis_check.py)."""
+
+    class args:  # keep the body below identical to the old CLI flow
+        pass
+
+    args.steps, args.outdir, args.batch, args.hparams = (
+        steps, outdir, batch, hparams)
 
     from tacotron2_tpu.config import Tacotron2Config
     from tacotron2_tpu.data import DataPipeline, TextMelDataset, prefetch
