@@ -43,19 +43,23 @@ The BACKWARD kernel (``backward_chain``) mirrors the reverse scan of
 decoder_vjp with the transposed LSTM weights and the banded matrices
 VMEM-resident. Per step it computes ONLY the sequential data-gradient
 chain and emits per-step cotangent stacks (dga, dgd, d_prenet, d_ctx,
-d_q, d_M); every parameter gradient hoists outside into batched einsums
-over those stacks (the location conv/dense gradients via a chunked
-conv-correlation post-pass, ``attention_param_grads``). d_processed is
-accumulated IN-KERNEL in EXACT fp32 — always: a round-3 variant that
-recovered it by summing the bf16-rounded d_M stack was root-caused (via
-the tone-corpus quality gate + a hybrid bisect) as a training-quality
-drift and DELETED; shapes whose fp32 accumulator exceeds the VMEM
-envelope (``bwd_supported``) take the XLA custom-VJP backward instead.
-An alternative that emitted only the ~130x smaller softmax cotangent
-and rematerialized d_M in the post-pass was considered and rejected:
-the post-pass remat materializes (chunk*B, T_pad, datt) feature tensors
-whose HBM round trips cost more than the d_M stream saves from the
-scan.
+d_q); the LSTM weight gradients hoist outside into batched einsums over
+those stacks. The location conv/dense gradients ride an IN-KERNEL
+``d_band`` accumulator (round 4): the band matrix is shared by every
+tile and step, so ``d_band += cat^T @ d_m`` per tile (one extra MXU
+matmul against the already-resident operands), and the parameter
+gradients are recovered outside via the exact bilinear-fold chain rule
+(``attention_param_grads``). This replaced the round-3 design that
+emitted the full (T_steps, B, T_pad*datt) d_M stack (2.1 GB of HBM at
+T_in=128) and recovered the conv gradients in a chunked
+conv-correlation post-pass — measured at 44.8 ms/step-chain, MORE than
+the backward kernel itself (43.3 ms; BENCH_DETAILS
+round4_bwd_breakdown). d_processed is accumulated IN-KERNEL in EXACT
+fp32 — always: a round-3 variant that recovered it by summing the
+bf16-rounded d_M stack was root-caused (via the tone-corpus quality
+gate + a hybrid bisect) as a training-quality drift and DELETED; shapes
+whose fp32 accumulator exceeds the VMEM envelope (``bwd_supported``)
+take the XLA custom-VJP backward instead.
 
 Numerics vs the XLA forward (``decoder_vjp._forward``): forward math is
 the same op chain with fp32 accumulation where the XLA bf16 path
@@ -565,7 +569,7 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
             (next(it) for _ in range(10))
         katt_r = next(it) if dropout else None
         kdec_r = next(it) if dropout else None
-        (dga_o, dgd_o, dpre_o, dctx_o, dq_o, dm_o, dv_o, dproc_o) = \
+        (dga_o, dgd_o, dpre_o, dctx_o, dq_o, dband_o, dv_o, dproc_o) = \
             (next(it) for _ in range(8))
         (c_dah, c_dac, c_ddh, c_ddc, c_dw, c_dwc, c_dctx,
          cat, wp_s, wc_s, acc_w, acc_wc,
@@ -595,11 +599,12 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
             s_decc[:] = decc_l[:]
             s_w[:] = w_l[:]
 
-        # the d_v accumulator is shared across batch tiles: zero it only
-        # once, at the very first grid iteration
+        # the d_v and d_band accumulators are shared across batch tiles:
+        # zero them only once, at the very first grid iteration
         @pl.when(jnp.logical_and(first, pl.program_id(0) == 0))
         def _():
             dv_o[:] = jnp.zeros_like(dv_o)
+            dband_o[:] = jnp.zeros_like(dband_o)
 
         # fp32 d_processed accumulator is a per-batch-tile block: zero it
         # at each tile's chain start
@@ -663,7 +668,17 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
             dproc_o[:, i * d.ttd:(i + 1) * d.ttd] = (
                 dproc_o[:, i * d.ttd:(i + 1) * d.ttd] + dm)
             dm_c = dm.astype(dtype)
-            dm_o[0, :, i * d.ttd:(i + 1) * d.ttd] = dm_c
+            # d_band accumulation (round 4): the band matrix is shared
+            # by every tile and step, so its gradient is one in-kernel
+            # f32 accumulator — cat^T @ d_m per tile. The location
+            # conv/dense gradients are recovered OUTSIDE from d_band via
+            # the exact bilinear-fold chain rule
+            # (attention_param_grads), replacing the emitted (T, B,
+            # T_pad*datt) d_M stack (2.1 GB HBM at T_in=128) and the
+            # conv-correlation post-pass that consumed it.
+            dband_o[:] = dband_o[:] + jax.lax.dot_general(
+                cat[:], dm_c, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
             dcat = jnp.dot(dm_c, bandt[:], preferred_element_type=f32)
             acc_w[:, i * TT:i * TT + W] = (
                 acc_w[:, i * TT:i * TT + W] + dcat[:, 0:W])
@@ -777,13 +792,13 @@ def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
         jax.ShapeDtypeStruct((T_steps, B, d.p), f32),          # d_prenet
         jax.ShapeDtypeStruct((T_steps, B, d.e), dtype),        # d_ctx
         jax.ShapeDtypeStruct((T_steps, B, d.datt), f32),       # d_q
-        jax.ShapeDtypeStruct((T_steps, B, d.t_pad * d.datt),
-                             dtype),                           # d_M
+        jax.ShapeDtypeStruct((d.cat_w, d.ttd), f32),           # d_band
         jax.ShapeDtypeStruct((8, d.ttd), f32),                 # d_v acc
         jax.ShapeDtypeStruct((B, d.t_pad * d.datt), f32),      # d_proc
     ]
-    out_specs = [rev(o.shape[1:]) for o in outs[:6]]
-    out_specs += [const(outs[6].shape), bconst(outs[7].shape)]
+    out_specs = [rev(o.shape[1:]) for o in outs[:5]]
+    out_specs += [const(outs[5].shape), const(outs[6].shape),
+                  bconst(outs[7].shape)]
 
     scratch = [
         pltpu.VMEM((Bt, d.a), f32), pltpu.VMEM((Bt, d.a), f32),
@@ -856,41 +871,40 @@ def backward_chain(core_params, res, memory, processed, mask, scan_rng,
         d_dec_h_out.astype(f32), d_ctx_out.astype(f32), dalign,
         katt, kdec, dims, dropout_active, cfg.p_attention_dropout,
         cfg.p_decoder_dropout, interpret)
-    (dga_st, dgd_st, dpre_st, dctx_st, dq_st, dm_st, dv_acc,
+    (dga_st, dgd_st, dpre_st, dctx_st, dq_st, dband_acc, dv_acc,
      dproc_acc) = outs
 
     d_attp = attention_param_grads(
-        core_params, dims, att_h, w_pad, wcum_prev, dq_st, dm_st, dv_acc)
+        core_params, dims, att_h, dq_st, dband_acc, dv_acc)
     d_processed = dproc_acc.reshape(B, T, dims.datt)[:, :t_in].astype(
         processed.dtype)
     return dga_st, dgd_st, dpre_st, dctx_st, d_processed, d_attp
 
 
 def attention_param_grads(core_params, dims: ScanDims, att_h_stack,
-                          w_prev_unshifted, wcum_prev, dq_st, dm_st,
-                          dv_acc):
-    """Hoisted attention parameter gradients from the emitted stacks.
-
-    Returns the attention-params gradient subtree. (d_processed comes
-    from the backward kernel's exact fp32 in-kernel accumulator, never
-    from summing the bf16 d_M stack here — the round-3 quality finding.)
+                          dq_st, dband_acc, dv_acc):
+    """Hoisted attention parameter gradients (round 4: from the
+    in-kernel d_band accumulator — no d_M stack).
 
     d_Wq from (att_h, d_q); d_v from the in-kernel accumulator; the
-    location conv/dense gradients from the t-major d_M stack via the
-    chain d_loc -> (d_F, F) with the conv expressed over the T dim —
-    chunked over decoder steps to bound the (x, T, nF) transients.
+    location conv/dense gradients from d_band via the EXACT
+    bilinear-fold chain rule: the forward consumes (location_conv,
+    location_dense) only through K2 = conv ∘ dense folded into the band
+    matrix (pack_weights), so d_K2 contracts d_band's window slabs with
+    the constant placement tensor Ew, then
+    d_ck = d_K2 : ld and d_ld = ck : d_K2. This replaced the emitted
+    (T_steps, B, T_pad*datt) d_M stack (2.1 GB HBM at T_in=128) and the
+    chunked conv-correlation post-pass that consumed it — the post-pass
+    alone cost more wall-clock than the whole backward kernel
+    (BENCH_DETAILS round4_bwd_breakdown). (d_processed still comes from
+    the backward kernel's exact fp32 in-kernel accumulator — the
+    round-3 quality finding.)
     """
-    from jax import lax
-    T = dims.t_pad
-    ks = dims.ks
-    pad = (ks - 1) // 2
     f32 = jnp.float32
     bf16 = jnp.bfloat16
-    T_steps, B, _ = att_h_stack.shape
     att = core_params["attention"]
     ck = att["location_conv"]["kernel"]          # (ks, 2, F)
     ld = att["location_dense"]["kernel"]         # (F, datt)
-    nF = ck.shape[2]
 
     dWq = jnp.einsum("tbh,tbq->hq", att_h_stack.astype(bf16),
                      dq_st.astype(bf16), preferred_element_type=f32)
@@ -898,37 +912,20 @@ def attention_param_grads(core_params, dims: ScanDims, att_h_stack,
     # (TT, datt) t-major; summing the tile positions gives d_v
     d_v = jnp.sum(dv_acc[0].reshape(TT, dims.datt), axis=0)[:, None]
 
-    # w_prev: value at t-1 (zero at t=0)
-    w_prev = jnp.concatenate(
-        [jnp.zeros_like(w_prev_unshifted[:1]), w_prev_unshifted[:-1]],
-        axis=0)
-
-    # chunked over decoder steps; the last chunk may be short when
-    # T_steps is not a multiple of the chunk size (each slice length is
-    # still static under jit — the loop is a Python loop over slices)
-    csz = T_steps if T_steps < 128 else 64
-    d_ld = jnp.zeros((nF, dims.datt), f32)
-    d_ck = jnp.zeros((ks, 2, nF), f32)
-    for start in range(0, T_steps, csz):
-        sl = slice(start, min(start + csz, T_steps))
-        x = (sl.stop - sl.start) * B
-        dm = dm_st[sl].reshape(x, T, dims.datt)            # (x, T, datt)
-        wcat = jnp.stack([w_prev[sl].reshape(x, T),
-                          wcum_prev[sl].reshape(x, T)],
-                         axis=-1).astype(bf16)             # (x, T, 2)
-        F = lax.conv_general_dilated(
-            wcat, ck.astype(bf16), (1,), [(pad, pad)],
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            preferred_element_type=bf16)                   # (x, T, nF)
-        d_ld = d_ld + jnp.einsum("xtf,xtd->fd", F, dm,
-                                 preferred_element_type=f32)
-        dF = jnp.einsum("xtd,fd->xtf", dm, ld.astype(bf16),
-                        preferred_element_type=bf16)
-        wcat_pad = jnp.pad(wcat, ((0, 0), (pad, pad), (0, 0)))
-        for k in range(ks):
-            d_ck = d_ck.at[k].add(jnp.einsum(
-                "xtc,xtf->cf", wcat_pad[:, k:k + T], dF,
-                preferred_element_type=f32))
+    Ew, _, _ = _band_constants(dims)             # (ks, w_win, TT)
+    W = dims.w_win
+    d_K2 = []
+    for c in range(2):
+        d_b3 = jax.lax.dynamic_slice(
+            dband_acc, (c * CS, 0), (W, dims.ttd)).reshape(
+                W, TT, dims.datt)
+        d_K2.append(jnp.einsum("kjt,jtd->kd", Ew, d_b3,
+                               preferred_element_type=f32))
+    d_K2 = jnp.stack(d_K2, axis=1)               # (ks, 2, datt)
+    d_ck = jnp.einsum("kcD,fD->kcf", d_K2, ld.astype(f32),
+                      preferred_element_type=f32)
+    d_ld = jnp.einsum("kcf,kcD->fD", ck.astype(f32), d_K2,
+                      preferred_element_type=f32)
 
     return {
         "query": {"kernel": dWq},

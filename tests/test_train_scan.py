@@ -292,57 +292,50 @@ def test_grad_error_vs_fp32_ground_truth():
             err_ker / scale, err_xla / scale)
 
 
-def test_attention_param_grads_nondivisible_steps():
-    """T_steps >= 128 and not a multiple of the chunk size: the chunked
-    conv-correlation post-pass must cover the tail steps (a round-2 bug
-    silently dropped T_steps - n_chunks*csz steps)."""
-    from tacotron2_tpu.kernels.train_scan import (ScanDims, TT,
-                                                  attention_param_grads)
+def test_attention_param_grads_dband_chain_rule():
+    """Round 4: the location conv/dense gradients recovered from the
+    in-kernel d_band accumulator must equal autodiff through the SAME
+    band fold pack_weights performs (the loss depends on conv/dense only
+    through the folded band, so the bilinear chain rule is exact)."""
+    import jax
+    from tacotron2_tpu.kernels.train_scan import (
+        CS, ScanDims, TT, _band_constants, attention_param_grads)
     r = np.random.RandomState(0)
-    T_steps, Bs, T, datt, nF, ks = 130, 2, 16, 8, 4, 5
+    T_steps, Bs, T, datt, nF, ks = 6, 2, 16, 8, 4, 5
     dims = ScanDims(p=8, e=8, a=8, d=8, datt=datt, ks=ks, t_pad=T,
                     k1=24, k2=24)
+    ck = jnp.asarray(r.randn(ks, 2, nF), jnp.float32)
+    ld = jnp.asarray(r.randn(nF, datt), jnp.float32)
     core = {"attention": {
-        "location_conv": {"kernel": jnp.asarray(
-            r.randn(ks, 2, nF), jnp.float32)},
-        "location_dense": {"kernel": jnp.asarray(
-            r.randn(nF, datt), jnp.float32)},
+        "location_conv": {"kernel": ck},
+        "location_dense": {"kernel": ld},
     }}
     att_h = jnp.asarray(r.randn(T_steps, Bs, 8), jnp.float32)
-    w_unshifted = jnp.asarray(r.rand(T_steps, Bs, T), jnp.float32)
-    wcum = jnp.asarray(r.rand(T_steps, Bs, T), jnp.float32)
     dq = jnp.asarray(r.randn(T_steps, Bs, datt), jnp.float32)
-    dm = jnp.asarray(r.randn(T_steps, Bs, T * datt), jnp.float32)
+    dband = jnp.asarray(r.randn(2 * CS + datt, TT * datt), jnp.float32)
     dv = jnp.zeros((8, TT * datt), jnp.float32)
-    got = attention_param_grads(core, dims, att_h, w_unshifted,
-                                wcum, dq, dm, dv)
+    got = attention_param_grads(core, dims, att_h, dq, dband, dv)
 
-    # dense numpy reference over ALL steps (no chunking); dm is t-major
-    pad = (ks - 1) // 2
-    ck = np.asarray(core["attention"]["location_conv"]["kernel"])
-    ld = np.asarray(core["attention"]["location_dense"]["kernel"])
-    w_prev = np.concatenate([np.zeros((1, Bs, T), np.float32),
-                             np.asarray(w_unshifted)[:-1]], axis=0)
-    x = T_steps * Bs
-    wcat = np.stack([w_prev.reshape(x, T),
-                     np.asarray(wcum).reshape(x, T)], axis=-1)
-    wcat_pad = np.pad(wcat, ((0, 0), (pad, pad), (0, 0)))
-    F = np.zeros((x, T, nF), np.float32)
-    for k in range(ks):
-        F += np.einsum("xtc,cf->xtf", wcat_pad[:, k:k + T], ck[k])
-    dm3 = np.asarray(dm).reshape(x, T, datt)
-    ref_ld = np.einsum("xtf,xtd->fd", F, dm3)
-    dF = np.einsum("xtd,fd->xtf", dm3, ld)
-    ref_ck = np.stack([np.einsum("xtc,xtf->cf", wcat_pad[:, k:k + T], dF)
-                       for k in range(ks)])
-    # the kernel path's einsums run bf16-in/fp32-accum; tolerate bf16
-    # round-off scaled by the gradient magnitude (cancellation near 0)
-    np.testing.assert_allclose(np.asarray(got["location_dense"]["kernel"]),
-                               ref_ld, rtol=2e-2,
-                               atol=2e-2 * np.abs(ref_ld).max())
+    # autodiff reference: vjp of the pack_weights band fold (window
+    # slabs only; the qsel block is constant and must be ignored)
+    Ew, qsel, _ = _band_constants(dims)
+
+    def fold(ck_, ld_):
+        K2 = jnp.einsum("kcf,fD->kcD", ck_, ld_)
+        band = jnp.zeros((dims.cat_w, dims.ttd), jnp.float32)
+        for c in range(2):
+            b3 = jnp.einsum("kjt,kd->jtd", Ew, K2[:, c])
+            band = jax.lax.dynamic_update_slice(
+                band, b3.reshape(dims.w_win, dims.ttd), (c * CS, 0))
+        band = jax.lax.dynamic_update_slice(band, qsel, (2 * CS, 0))
+        return band
+
+    _, vjp = jax.vjp(fold, ck, ld)
+    ref_ck, ref_ld = vjp(dband)
     np.testing.assert_allclose(np.asarray(got["location_conv"]["kernel"]),
-                               ref_ck, rtol=2e-2,
-                               atol=2e-2 * np.abs(ref_ck).max())
+                               np.asarray(ref_ck), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["location_dense"]["kernel"]),
+                               np.asarray(ref_ld), rtol=1e-4, atol=1e-4)
 
 
 def test_kernel_config_engages_kernel(monkeypatch):

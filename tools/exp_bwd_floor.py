@@ -40,7 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 from tacotron2_tpu.config import Tacotron2Config
 from tacotron2_tpu.kernels import train_scan as ts
 
-B, T_IN = 128, 128
+_kv = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+B = int(_kv.get("b", 128))
+T_IN = int(_kv.get("tin", 128))
 _nums = [a for a in sys.argv[1:] if a.isdigit()]
 T_STEPS = int(_nums[0]) if _nums else 512
 
@@ -74,20 +76,27 @@ def make_inputs(cfg, dims):
                                 "location_dense")},
         "decoder_rnn": dp["decoder_rnn"],
     }
-    r = np.random.RandomState(0)
-    f = lambda *s: jax.device_put(r.randn(*s).astype(np.float32) * 0.1)
-    memory = f(B, T_IN, dims.e)
-    proc = f(B, T_IN, dims.datt)
-    T = dims.t_pad
-    res = dict(
-        ga=f(T_STEPS, B, 4 * dims.a), gd=f(T_STEPS, B, 4 * dims.d),
-        atth=f(T_STEPS, B, dims.a), attc=f(T_STEPS, B, dims.a),
-        decc=f(T_STEPS, B, dims.d),
-        w=jax.device_put(
-            np.abs(r.rand(T_STEPS, B, T)).astype(np.float32) / T),
-        ddh=f(T_STEPS, B, dims.d), dctx=f(T_STEPS, B, dims.e),
-        dalign=f(T_STEPS, B, T),
-    )
+    # generate ON DEVICE: device_put of the ~2.6 GB residual stacks
+    # through the tunneled link stalls for minutes
+    keys = iter(jax.random.split(jax.random.PRNGKey(0), 16))
+
+    @jax.jit
+    def gen():
+        f = lambda *s: jax.random.normal(next(keys), s) * 0.1
+        T = dims.t_pad
+        memory = f(B, T_IN, dims.e)
+        proc = f(B, T_IN, dims.datt)
+        res = dict(
+            ga=f(T_STEPS, B, 4 * dims.a), gd=f(T_STEPS, B, 4 * dims.d),
+            atth=f(T_STEPS, B, dims.a), attc=f(T_STEPS, B, dims.a),
+            decc=f(T_STEPS, B, dims.d),
+            w=jax.random.uniform(next(keys), (T_STEPS, B, T)) / T,
+            ddh=f(T_STEPS, B, dims.d), dctx=f(T_STEPS, B, dims.e),
+            dalign=f(T_STEPS, B, T),
+        )
+        return memory, proc, res
+
+    memory, proc, res = gen()
     return core, memory, proc, res
 
 
@@ -200,12 +209,13 @@ def bwd_call(core, memory, proc, res, cfg, stub: bool):
         jax.ShapeDtypeStruct((T_STEPS, B, d.p), f32),
         jax.ShapeDtypeStruct((T_STEPS, B, d.e), dtype),
         jax.ShapeDtypeStruct((T_STEPS, B, d.datt), f32),
-        jax.ShapeDtypeStruct((T_STEPS, B, d.t_pad * d.datt), dtype),
+        jax.ShapeDtypeStruct((d.cat_w, d.ttd), f32),
         jax.ShapeDtypeStruct((8, d.ttd), f32),
         jax.ShapeDtypeStruct((B, d.t_pad * d.datt), f32),
     ]
-    out_specs = [rev(o.shape[1:]) for o in outs[:6]]
-    out_specs += [const(outs[6].shape), bconst(outs[7].shape)]
+    out_specs = [rev(o.shape[1:]) for o in outs[:5]]
+    out_specs += [const(outs[5].shape), const(outs[6].shape),
+                  bconst(outs[7].shape)]
 
     scratch = [
         pltpu.VMEM((Bt, d.a), f32), pltpu.VMEM((Bt, d.a), f32),
@@ -310,6 +320,40 @@ def fwd_call(core, memory, proc, res, cfg, stub: bool):
     return call(*inputs)
 
 
+def postpass_call(core, memory, proc, res, cfg, _):
+    """attention_param_grads standalone (round-4 d_band form)."""
+    d = ts.scan_dims(cfg, memory.shape[1])
+    key = jax.random.PRNGKey(9)
+    dband = jax.random.normal(key, (d.cat_w, d.ttd)) * 0.1
+    dq_st = jax.random.normal(key, (T_STEPS, B, d.datt)) * 0.1
+    dv_acc = jnp.zeros((8, d.ttd), jnp.float32)
+    return ts.attention_param_grads(core, d, res["atth"], dq_st, dband,
+                                    dv_acc)
+
+
+def masks_call(core, memory, proc, res, cfg, _):
+    """keep_masks as called TWICE per step (fwd + bwd recompute)."""
+    d = ts.scan_dims(cfg, memory.shape[1])
+    a = ts.keep_masks(jax.random.PRNGKey(3), T_STEPS, B, d,
+                      cfg.p_attention_dropout, cfg.p_decoder_dropout)
+    b = ts.keep_masks(jax.random.PRNGKey(3), T_STEPS, B, d,
+                      cfg.p_attention_dropout, cfg.p_decoder_dropout)
+    return a, b
+
+
+def glue_call(core, memory, proc, res, cfg, _):
+    """Everything backward_chain does around the pallas_call: weight
+    repack, batch repack, w padding + exclusive cumsum."""
+    d = ts.scan_dims(cfg, memory.shape[1])
+    T = d.t_pad
+    packs = ts.pack_bwd_weights(core, d, jnp.bfloat16)
+    mem_flat, proc_flat, _ = ts.pack_batch(memory, proc, None, d,
+                                           jnp.bfloat16)
+    w_pad = jnp.pad(res["w"], ((0, 0), (0, 0), (0, T - memory.shape[1])))
+    wcum_prev = jnp.cumsum(w_pad, axis=0) - w_pad
+    return packs, mem_flat, proc_flat, w_pad, wcum_prev
+
+
 def main():
     jax.config.update("jax_default_prng_impl", "unsafe_rbg")
     try:
@@ -319,24 +363,34 @@ def main():
     cfg = Tacotron2Config(compute_dtype="bfloat16", batch_size=B,
                           prng_impl="unsafe_rbg")
     dims = ts.scan_dims(cfg, T_IN)
+    # experimental override: let the fp32 d_processed accumulator be
+    # BUILT past the shipped cap so its VMEM fit can be probed on chip
+    # (the shipped gate only widens after a measured green run)
+    need = min(B, 128) * dims.t_pad
+    if need > ts._FP32_DPROC_CAP:
+        print(json.dumps({"override_fp32_dproc_cap": need}), flush=True)
+        ts._FP32_DPROC_CAP = need
     core, memory, proc, res = make_inputs(cfg, dims)
 
     out = {"B": B, "T_in": T_IN, "T_steps": T_STEPS}
-    which = [a for a in sys.argv[1:] if not a.isdigit()] or \
+    which = [a for a in sys.argv[1:]
+             if not a.isdigit() and "=" not in a] or \
         ["bwd_real", "bwd_stub", "fwd_real", "fwd_stub"]
     table = {
-        "bwd_real": functools.partial(bwd_call, core, memory, proc, res,
-                                      cfg, False),
-        "bwd_stub": functools.partial(bwd_call, core, memory, proc, res,
-                                      cfg, True),
-        "fwd_real": functools.partial(fwd_call, core, memory, proc, res,
-                                      cfg, False),
-        "fwd_stub": functools.partial(fwd_call, core, memory, proc, res,
-                                      cfg, True),
+        "bwd_real": (bwd_call, False), "bwd_stub": (bwd_call, True),
+        "fwd_real": (fwd_call, False), "fwd_stub": (fwd_call, True),
+        "postpass": (postpass_call, None), "masks": (masks_call, None),
+        "glue": (glue_call, None),
     }
     for name in which:
-        jfn = jax.jit(table[name])
-        ms = timeit(jfn)
+        call, stub = table[name]
+        # the operand pytrees MUST be jit ARGUMENTS: closed-over device
+        # arrays become graph constants, and the axon remote-compile
+        # path serializes constants — a ~2.6 GB const set turns a
+        # 2-minute compile into a 20+-minute, 25 GB stall
+        jfn = jax.jit(lambda c, m, p, r, _call=call, _stub=stub:
+                      _call(c, m, p, r, cfg, _stub))
+        ms = timeit(functools.partial(jfn, core, memory, proc, res))
         out[name] = {"ms": round(ms, 2),
                      "us_per_step": round(ms * 1e3 / T_STEPS, 2)}
         print(json.dumps({name: out[name]}), flush=True)
