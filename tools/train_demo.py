@@ -139,6 +139,7 @@ def run(steps: int, outdir: str, batch: int = 32,
         print("wrote alignment.png")
     except Exception as e:
         print("plot skipped:", e)
+    return summary
 
 
 if __name__ == "__main__":
