@@ -292,21 +292,19 @@ def pack_batch(memory, processed, mask, dims: ScanDims, dtype=jnp.bfloat16):
 
 def keep_masks(scan_rng, T_steps: int, B: int, dims: ScanDims,
                p_att: float, p_dec: float):
-    """(T, B, a + d) bf16 0/1 dropout KEEP masks — [katt | kdec] merged
-    into ONE stream (round 4) — drawn with EXACTLY the key derivation of
-    the in-scan XLA path (decoder_vjp._step_keep_masks), so the pattern
-    is bit-identical. The 1/(1-p) scale is applied in-kernel as a static
-    fp32 scalar — the same fp32 product the round-2 fp32 scale-mask
-    formulation computed, at half the HBM footprint and stream
-    bandwidth."""
+    """(T, B, a)/(T, B, d) bf16 0/1 dropout KEEP masks, drawn with
+    EXACTLY the key derivation of the in-scan XLA path
+    (decoder_vjp._step_keep_masks), so the pattern is bit-identical.
+    The 1/(1-p) scale is applied in-kernel as a static fp32 scalar —
+    the same fp32 product the round-2 fp32 scale-mask formulation
+    computed, at half the HBM footprint and stream bandwidth."""
     def one(t):
         key_t = jax.random.fold_in(scan_rng, t)
         ka = jax.random.bernoulli(jax.random.fold_in(key_t, 0),
                                   1.0 - p_att, (B, dims.a))
         kd = jax.random.bernoulli(jax.random.fold_in(key_t, 1),
                                   1.0 - p_dec, (B, dims.d))
-        return jnp.concatenate([ka.astype(jnp.bfloat16),
-                                kd.astype(jnp.bfloat16)], axis=-1)
+        return (ka.astype(jnp.bfloat16), kd.astype(jnp.bfloat16))
     return jax.vmap(one)(jnp.arange(T_steps))
 
 
@@ -326,9 +324,10 @@ def _make_kernel(dims: ScanDims, B: int, dropout: bool,
         w1, b1, w2, b2, wq, band, selv, proc, mem, emask = \
             (next(it) for _ in range(10))
         prenet_r = next(it)
-        kk_r = next(it) if dropout else None  # merged [katt | kdec]
-        (gad_r, atth_r, dech_r, cc_r, ctx_r, w_r) = \
-            (next(it) for _ in range(6))
+        katt_r = next(it) if dropout else None
+        kdec_r = next(it) if dropout else None
+        (ga_r, gd_r, atth_r, dech_r, attc_r, decc_r, ctx_r, w_r) = \
+            (next(it) for _ in range(8))
         (x1, x2, cat, h1s, c1s, h2s, c2s, wsp, wcsp, ctxs, efull) = \
             (next(it) for _ in range(11))
 
@@ -354,8 +353,7 @@ def _make_kernel(dims: ScanDims, B: int, dropout: bool,
                + jax.nn.sigmoid(g1[:, 0:d.a])
                * jnp.tanh(g1[:, 2 * d.a:3 * d.a]))
         h1n = jax.nn.sigmoid(g1[:, 3 * d.a:4 * d.a]) * jnp.tanh(c1n)
-        h1d = (h1n * (kk_r[0, :, 0:d.a].astype(f32) * s_att)
-               if dropout else h1n)
+        h1d = h1n * (katt_r[0].astype(f32) * s_att) if dropout else h1n
 
         # ---- location-sensitive attention (t-major windowed tiles) ----
         q = jnp.dot(h1d.astype(dtype), wq[:], preferred_element_type=f32)
@@ -386,16 +384,15 @@ def _make_kernel(dims: ScanDims, B: int, dropout: bool,
                + jax.nn.sigmoid(g2[:, 0:d.d])
                * jnp.tanh(g2[:, 2 * d.d:3 * d.d]))
         h2n = jax.nn.sigmoid(g2[:, 3 * d.d:4 * d.d]) * jnp.tanh(c2n)
-        h2d = (h2n * (kk_r[0, :, d.a:d.a + d.d].astype(f32) * s_dec)
-               if dropout else h2n)
+        h2d = h2n * (kdec_r[0].astype(f32) * s_dec) if dropout else h2n
 
-        # ---- residual stacks out (merged streams, round 4); state ----
-        gad_r[0, :, 0:4 * d.a] = g1.astype(dtype)
-        gad_r[0, :, 4 * d.a:4 * (d.a + d.d)] = g2.astype(dtype)
+        # ---- residual stacks out; state update ----
+        ga_r[0] = g1.astype(dtype)
+        gd_r[0] = g2.astype(dtype)
         atth_r[0] = h1d.astype(dtype)
         dech_r[0] = h2d.astype(dtype)
-        cc_r[0, :, 0:d.a] = c1n
-        cc_r[0, :, d.a:d.a + d.d] = c2n
+        attc_r[0] = c1n
+        decc_r[0] = c2n
         ctx_r[0] = ctx
         w_r[0] = wnew
         h1s[:] = h1d
@@ -412,7 +409,7 @@ def _make_kernel(dims: ScanDims, B: int, dropout: bool,
 @functools.partial(jax.jit, static_argnames=("dims", "dropout", "p_att",
                                              "p_dec", "interpret"))
 def _scan_call(w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat, emask,
-               prenet_steps, kk, dims: ScanDims, dropout: bool,
+               prenet_steps, katt, kdec, dims: ScanDims, dropout: bool,
                p_att: float, p_dec: float, interpret: bool):
     d = dims
     T_steps, B, _ = prenet_steps.shape
@@ -446,16 +443,16 @@ def _scan_call(w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat, emask,
     inputs = [w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat, emask,
               prenet_steps]
     if dropout:
-        in_specs += [stream((B, d.a + d.d))]
-        inputs += [kk]
+        in_specs += [stream((B, d.a)), stream((B, d.d))]
+        inputs += [katt, kdec]
 
-    # width-neutral merged residual streams (round 4): [ga|gd] and
-    # [att_c|dec_c] halve the per-step DMA count at identical bytes
     outs = [
-        jax.ShapeDtypeStruct((T_steps, B, 4 * (d.a + d.d)), dtype),  # gad
+        jax.ShapeDtypeStruct((T_steps, B, 4 * d.a), dtype),   # ga
+        jax.ShapeDtypeStruct((T_steps, B, 4 * d.d), dtype),   # gd
         jax.ShapeDtypeStruct((T_steps, B, d.a), dtype),       # att_h
         jax.ShapeDtypeStruct((T_steps, B, d.d), dtype),       # dec_h
-        jax.ShapeDtypeStruct((T_steps, B, d.a + d.d), f32),   # cc
+        jax.ShapeDtypeStruct((T_steps, B, d.a), f32),         # att_c
+        jax.ShapeDtypeStruct((T_steps, B, d.d), f32),         # dec_c
         jax.ShapeDtypeStruct((T_steps, B, d.e), f32),         # ctx
         jax.ShapeDtypeStruct((T_steps, B, d.t_pad), f32),     # w
     ]
@@ -487,12 +484,9 @@ def _scan_call(w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat, emask,
 def forward_residuals(core_params, prenet_steps, memory, processed, mask,
                       scan_rng, cfg: Tacotron2Config, dropout_active: bool,
                       interpret: Optional[bool] = None):
-    """Run the fused forward scan; returns the 6 time-major residual
-    stacks in the MERGED stream layout (gad=[ga|gd], att_h, dec_h,
-    cc=[att_c|dec_c], ctx, w) with w trimmed to the true T_in — the
-    same VALUES ``decoder_vjp._forward`` produces, packed width-neutral
-    so the backward kernel re-fetches them as single streams
-    (decoder_vjp._Residuals exposes ga/gd/att_c/dec_c as lazy slices).
+    """Run the fused forward scan; returns the 8 time-major residual
+    stacks (ga, gd, att_h, dec_h, att_c, dec_c, ctx, w) with w trimmed to
+    the true T_in — the same values ``decoder_vjp._forward`` produces.
 
     ``prenet_steps``: (T_steps, B, prenet_dim) time-major (any dtype;
     cast to bf16). ``interpret`` defaults to True off-TPU (CPU tests).
@@ -508,17 +502,18 @@ def forward_residuals(core_params, prenet_steps, memory, processed, mask,
     mem_flat, proc_flat, emask = pack_batch(memory, processed, mask, dims,
                                             dtype)
     if dropout_active:
-        kk = keep_masks(scan_rng, T_steps, B, dims,
-                        cfg.p_attention_dropout, cfg.p_decoder_dropout)
+        katt, kdec = keep_masks(scan_rng, T_steps, B, dims,
+                                cfg.p_attention_dropout,
+                                cfg.p_decoder_dropout)
     else:
-        kk = jnp.zeros((1,), jnp.float32)  # unused placeholder
+        katt = kdec = jnp.zeros((1,), jnp.float32)  # unused placeholder
 
     outs = _scan_call(w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat,
-                      emask, prenet_steps.astype(dtype), kk,
+                      emask, prenet_steps.astype(dtype), katt, kdec,
                       dims, dropout_active, cfg.p_attention_dropout,
                       cfg.p_decoder_dropout, interpret)
-    gad, att_h, dec_h, cc, ctx, w = outs
-    return gad, att_h, dec_h, cc, ctx, w[..., :t_in]
+    ga, gd, att_h, dec_h, att_c, dec_c, ctx, w = outs
+    return ga, gd, att_h, dec_h, att_c, dec_c, ctx, w[..., :t_in]
 
 
 # ===================================================================
@@ -568,15 +563,17 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
     def kernel(*refs):
         it = iter(refs)
         (wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc, mem,
-         cc_l, w_l) = (next(it) for _ in range(12))
-        (gad_r, atth_r, cc_p_r, wm_p_r, cot_r) = \
-            (next(it) for _ in range(5))
-        kk_r = next(it) if dropout else None
-        (dgad_o, dpq_o, dctx_o, dband_o, dv_o, dproc_o) = \
-            (next(it) for _ in range(6))
+         attc_l, decc_l, w_l) = (next(it) for _ in range(13))
+        (ga_r, gd_r, atth_r, attc_p_r, decc_p_r,
+         w_p_r, wcum_p_r, ddh_r, dctx_o_r, dalign_r) = \
+            (next(it) for _ in range(10))
+        katt_r = next(it) if dropout else None
+        kdec_r = next(it) if dropout else None
+        (dga_o, dgd_o, dpre_o, dctx_o, dq_o, dband_o, dv_o, dproc_o) = \
+            (next(it) for _ in range(8))
         (c_dah, c_dac, c_ddh, c_ddc, c_dw, c_dwc, c_dctx,
          cat, wp_s, wc_s, acc_w, acc_wc,
-         s_cc, s_w) = (next(it) for _ in range(14))
+         s_attc, s_decc, s_w) = (next(it) for _ in range(15))
 
         pid = pl.program_id(1)      # grid = (batch_tiles, T_steps)
         first = pid == 0            # processes t = nsteps-1 (chain start)
@@ -597,8 +594,9 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
             # prime the single-fetch carries with the chain-start (last
             # step's) saved state; each later step's "current" value is
             # the previous iteration's prev-fetch, carried in scratch —
-            # halves the cc/w stream fetches (round 4)
-            s_cc[:] = cc_l[:]
+            # halves the attc/decc/w stream fetches (round 4)
+            s_attc[:] = attc_l[:]
+            s_decc[:] = decc_l[:]
             s_w[:] = w_l[:]
 
         # the d_v and d_band accumulators are shared across batch tiles:
@@ -614,30 +612,22 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
         def _():
             dproc_o[:] = jnp.zeros_like(dproc_o)
 
-        # previous-step saved state; ALL-ZERO initial state at t=0.
-        # wm_p = [w_{t-1} | wcum_prev_{t-1}]: wcum_prev at t recovers
-        # EXACTLY as wcum_prev[t-1] + w[t-1] (the same f32 op chain the
-        # outside cumsum performs), so one rev_prev fetch serves both.
+        # previous-step saved state; ALL-ZERO initial state at t=0
         zmask = jnp.where(last, 0.0, 1.0)
-        attc_p = cc_p_r[0, :, 0:d.a] * zmask
-        decc_p = cc_p_r[0, :, d.a:d.a + d.d] * zmask
-        w_prev = wm_p_r[0, :, 0:T]
-        wp_s[:, WOFF:WOFF + T] = w_prev * zmask
-        wc_s[:, WOFF:WOFF + T] = (wm_p_r[0, :, T:2 * T]
-                                  + w_prev) * zmask
+        attc_p = attc_p_r[0] * zmask
+        decc_p = decc_p_r[0] * zmask
+        wp_s[:, WOFF:WOFF + T] = w_p_r[0] * zmask
+        wc_s[:, WOFF:WOFF + T] = wcum_p_r[0] * zmask
 
         # ---- decoder LSTM backward ----
-        ddh_total = c_ddh[:] + cot_r[0, :, 0:d.d]
+        ddh_total = c_ddh[:] + ddh_r[0]
         if dropout:
-            ddh_total = ddh_total * (
-                kk_r[0, :, d.a:d.a + d.d].astype(f32) * s_dec)
-        dgd, ddc_prev = lstm_gates_bwd(
-            gad_r[0, :, 4 * d.a:4 * (d.a + d.d)].astype(f32), decc_p,
-            s_cc[:, d.a:d.a + d.d], ddh_total, c_ddc[:], d.d)
+            ddh_total = ddh_total * (kdec_r[0].astype(f32) * s_dec)
+        dgd, ddc_prev = lstm_gates_bwd(gd_r[0].astype(f32), decc_p,
+                                       s_decc[:], ddh_total, c_ddc[:], d.d)
         dgd_c = dgd.astype(dtype)
         dxd = jnp.dot(dgd_c, wtd[:], preferred_element_type=f32)
-        dctx_total = (c_dctx[:] + cot_r[0, :, d.d:d.d + d.e]
-                      + dxd[:, d.a:d.a + d.e])
+        dctx_total = c_dctx[:] + dctx_o_r[0] + dxd[:, d.a:d.a + d.e]
 
         # ---- context bmm backward: d_w_from_ctx (VPU lane-slice loop)
         dctx_b = dctx_total
@@ -649,8 +639,7 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
         dw_from_ctx = jnp.concatenate(vals, axis=1)           # (B, T)
 
         # ---- softmax backward (saved weights w_t, carried) ----
-        dw_total = (c_dw[:] + c_dwc[:]
-                    + cot_r[0, :, d.d + d.e:d.d + d.e + T] + dw_from_ctx)
+        dw_total = c_dw[:] + c_dwc[:] + dalign_r[0] + dw_from_ctx
         w_t = s_w[:]
         s = jnp.sum(w_t * dw_total, axis=1, keepdims=True)
         de = w_t * (dw_total - s)                             # (B, T)
@@ -696,25 +685,23 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
             acc_wc[:, i * TT:i * TT + W] = (
                 acc_wc[:, i * TT:i * TT + W] + dcat[:, CS:CS + W])
             dq = dq + dcat[:, 2 * CS:2 * CS + d.datt]
-        dpq_o[0, :, d.p:d.p + d.datt] = dq
+        dq_o[0] = dq
         dah_attn = jnp.dot(dq.astype(dtype), wqt[:],
                            preferred_element_type=f32)
 
         # ---- attention LSTM backward ----
         dah_total = c_dah[:] + dxd[:, 0:d.a] + dah_attn
         if dropout:
-            dah_total = dah_total * (
-                kk_r[0, :, 0:d.a].astype(f32) * s_att)
-        dga, dac_prev = lstm_gates_bwd(
-            gad_r[0, :, 0:4 * d.a].astype(f32), attc_p,
-            s_cc[:, 0:d.a], dah_total, c_dac[:], d.a)
+            dah_total = dah_total * (katt_r[0].astype(f32) * s_att)
+        dga, dac_prev = lstm_gates_bwd(ga_r[0].astype(f32), attc_p,
+                                       s_attc[:], dah_total, c_dac[:], d.a)
         dga_c = dga.astype(dtype)
         dxa = jnp.dot(dga_c, wta[:], preferred_element_type=f32)
 
-        # ---- emits (merged streams) + carry update ----
-        dgad_o[0, :, 0:4 * d.a] = dga_c
-        dgad_o[0, :, 4 * d.a:4 * (d.a + d.d)] = dgd_c
-        dpq_o[0, :, 0:d.p] = dxa[:, 0:d.p]
+        # ---- emits + carry update ----
+        dga_o[0] = dga_c
+        dgd_o[0] = dgd_c
+        dpre_o[0] = dxa[:, 0:d.p]
         dctx_o[0] = dctx_total.astype(dtype)
         c_dah[:] = dxa[:, d.p + d.e:d.k1]
         c_dac[:] = dac_prev
@@ -725,8 +712,9 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
         c_dctx[:] = dxa[:, d.p:d.p + d.e]
         # this step's prev-fetches become the next (earlier) step's
         # current values — RAW, not zmasked (unused past the last step)
-        s_cc[:] = cc_p_r[0]
-        s_w[:] = w_prev
+        s_attc[:] = attc_p_r[0]
+        s_decc[:] = decc_p_r[0]
+        s_w[:] = w_p_r[0]
 
     return kernel
 
@@ -734,11 +722,12 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
 @functools.partial(jax.jit, static_argnames=("dims", "dropout", "p_att",
                                              "p_dec", "interpret"))
 def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
-                   mem_flat, gad, atth, cc, wm, cot, kk,
+                   mem_flat, ga, gd, atth, attc, decc, w, wcum_p,
+                   ddh, dctx_out, dalign, katt, kdec,
                    dims: ScanDims, dropout: bool, p_att: float,
                    p_dec: float, interpret: bool):
     d = dims
-    T_steps, B, _ = gad.shape
+    T_steps, B, _ = ga.shape
     Bt = B if B <= 128 else 128   # batch tile rows (uniform tiles)
     nb = B // Bt
     dtype = jnp.bfloat16
@@ -777,37 +766,39 @@ def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
                             memory_space=pltpu.VMEM)
 
     # chain-start (step T_steps-1) values prime the single-fetch carry
-    # scratches; cc/w then stream ONCE per step (the t-1 prev fetch)
-    # instead of twice — round 4, exactness-preserving
-    cc_last, w_last = cc[-1], wm[-1, :, 0:d.t_pad]
+    # scratches; attc/decc/w then stream ONCE per step (the t-1 prev
+    # fetch) instead of twice — round 4, exactness-preserving
+    attc_last, decc_last, w_last = attc[-1], decc[-1], w[-1]
     in_specs = [const(x.shape) for x in
                 (wta, wtd, wq, wqt, band, bandt, rep1, vrep)]
     in_specs += [bconst(proc_flat.shape), bconst(mem_flat.shape),
-                 bconst(cc_last.shape), bconst(w_last.shape)]
-    # 5 merged per-step streams (round 4; was 13 in round 3):
-    # gad=[ga|gd], atth, cc=[att_c|dec_c] (prev), wm=[w|wcum_prev]
-    # (prev; wcum at t recovered in-kernel), cot=[ddh|dctx|dalign]
-    in_specs += [rev((B, 4 * (d.a + d.d))), rev((B, d.a)),
-                 rev_prev((B, d.a + d.d)), rev_prev((B, 2 * d.t_pad)),
-                 rev((B, d.d + d.e + d.t_pad))]
+                 bconst(attc_last.shape), bconst(decc_last.shape),
+                 bconst(w_last.shape)]
+    in_specs += [rev((B, 4 * d.a)), rev((B, 4 * d.d)), rev((B, d.a)),
+                 rev_prev((B, d.a)), rev_prev((B, d.d)),
+                 rev_prev((B, d.t_pad)), rev((B, d.t_pad)),
+                 rev((B, d.d)), rev((B, d.e)), rev((B, d.t_pad))]
     inputs = [wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
-              mem_flat, cc_last, w_last, gad, atth, cc, wm, cot]
+              mem_flat, attc_last, decc_last, w_last,
+              ga, gd, atth, attc, decc, w,
+              wcum_p, ddh, dctx_out, dalign]
     if dropout:
-        in_specs += [rev((B, d.a + d.d))]
-        inputs += [kk]
+        in_specs += [rev((B, d.a)), rev((B, d.d))]
+        inputs += [katt, kdec]
 
     outs = [
-        jax.ShapeDtypeStruct((T_steps, B, 4 * (d.a + d.d)),
-                             dtype),                           # dgad
-        jax.ShapeDtypeStruct((T_steps, B, d.p + d.datt), f32),  # dpq
+        jax.ShapeDtypeStruct((T_steps, B, 4 * d.a), dtype),    # dga
+        jax.ShapeDtypeStruct((T_steps, B, 4 * d.d), dtype),    # dgd
+        jax.ShapeDtypeStruct((T_steps, B, d.p), f32),          # d_prenet
         jax.ShapeDtypeStruct((T_steps, B, d.e), dtype),        # d_ctx
+        jax.ShapeDtypeStruct((T_steps, B, d.datt), f32),       # d_q
         jax.ShapeDtypeStruct((d.cat_w, d.ttd), f32),           # d_band
         jax.ShapeDtypeStruct((8, d.ttd), f32),                 # d_v acc
         jax.ShapeDtypeStruct((B, d.t_pad * d.datt), f32),      # d_proc
     ]
-    out_specs = [rev(o.shape[1:]) for o in outs[:3]]
-    out_specs += [const(outs[3].shape), const(outs[4].shape),
-                  bconst(outs[5].shape)]
+    out_specs = [rev(o.shape[1:]) for o in outs[:5]]
+    out_specs += [const(outs[5].shape), const(outs[6].shape),
+                  bconst(outs[7].shape)]
 
     scratch = [
         pltpu.VMEM((Bt, d.a), f32), pltpu.VMEM((Bt, d.a), f32),
@@ -819,8 +810,9 @@ def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
         pltpu.VMEM((Bt, d.t_pad + 2 * WOFF), f32),
         pltpu.VMEM((Bt, d.t_pad + 2 * WOFF), f32),
         pltpu.VMEM((Bt, d.t_pad + 2 * WOFF), f32),
-        pltpu.VMEM((Bt, d.a + d.d), f32),  # s_cc carry
-        pltpu.VMEM((Bt, d.t_pad), f32),    # s_w carry
+        pltpu.VMEM((Bt, d.a), f32),      # s_attc carry
+        pltpu.VMEM((Bt, d.d), f32),      # s_decc carry
+        pltpu.VMEM((Bt, d.t_pad), f32),  # s_w carry
     ]
     return pl.pallas_call(
         kern,
@@ -839,19 +831,18 @@ def backward_chain(core_params, res, memory, processed, mask, scan_rng,
                    d_dec_h_out, d_ctx_out, d_align_out,
                    cfg: Tacotron2Config, dropout_active: bool,
                    interpret: Optional[bool] = None):
-    """Run the fused backward chain. ``res`` is the MERGED-layout
-    residual tuple from ``forward_residuals``: (gad, att_h, dec_h, cc,
-    ctx, w). Cotangents are (T, B, ...) time-major. Returns (dga_stack,
-    dgd_stack, d_prenet, dctx_stack, d_processed, d_attp) — the first
-    three as lazy slices of the kernel's merged output streams — i.e.
-    everything decoder_vjp.bwd needs beyond its own hoisted LSTM
-    einsums.
+    """Run the fused backward chain. ``res`` is the _Residuals tuple of
+    time-major stacks from the forward. Cotangents are (T, B, ...)
+    time-major. Returns (dga_stack, dgd_stack, d_prenet, dctx_stack,
+    d_processed, d_attp) where d_attp is the attention parameter gradient
+    subtree — everything decoder_vjp.bwd needs beyond its own hoisted
+    LSTM einsums.
     """
     dims = scan_dims(cfg, memory.shape[1])
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    (gad, att_h, dec_h, cc, ctx, w) = res
-    T_steps, B, _ = gad.shape
+    (ga, gd, att_h, dec_h, att_c, dec_c, ctx, w) = res
+    T_steps, B, _ = ga.shape
     t_in = memory.shape[1]
     T = dims.t_pad
     dtype = jnp.bfloat16
@@ -864,35 +855,30 @@ def backward_chain(core_params, res, memory, processed, mask, scan_rng,
     padT = ((0, 0), (0, 0), (0, T - t_in))
     w_pad = jnp.pad(w, padT).astype(f32)
     wcum_prev = jnp.cumsum(w_pad, axis=0) - w_pad   # exclusive prefix
-    # merged per-step streams: [w | wcum_prev] (one rev_prev fetch) and
-    # [d_dec_h | d_ctx | d_align] (one rev fetch) — the concats fuse
-    # with the casts/pads these arrays needed anyway
-    wm = jnp.concatenate([w_pad, wcum_prev], axis=-1)
-    cot = jnp.concatenate(
-        [d_dec_h_out.astype(f32), d_ctx_out.astype(f32),
-         jnp.pad(d_align_out.astype(f32), padT)], axis=-1)
+    dalign = jnp.pad(d_align_out.astype(f32), padT)
 
     if dropout_active:
-        kk = keep_masks(scan_rng, T_steps, B, dims,
-                        cfg.p_attention_dropout, cfg.p_decoder_dropout)
+        katt, kdec = keep_masks(scan_rng, T_steps, B, dims,
+                                cfg.p_attention_dropout,
+                                cfg.p_decoder_dropout)
     else:
-        kk = jnp.zeros((1,), f32)
+        katt = kdec = jnp.zeros((1,), f32)
 
     outs = _bwd_scan_call(
         wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat, mem_flat,
-        gad.astype(dtype), att_h.astype(dtype), cc.astype(f32), wm, cot,
-        kk, dims, dropout_active, cfg.p_attention_dropout,
+        ga.astype(dtype), gd.astype(dtype), att_h.astype(dtype),
+        att_c.astype(f32), dec_c.astype(f32), w_pad, wcum_prev,
+        d_dec_h_out.astype(f32), d_ctx_out.astype(f32), dalign,
+        katt, kdec, dims, dropout_active, cfg.p_attention_dropout,
         cfg.p_decoder_dropout, interpret)
-    (dgad_st, dpq_st, dctx_st, dband_acc, dv_acc, dproc_acc) = outs
+    (dga_st, dgd_st, dpre_st, dctx_st, dq_st, dband_acc, dv_acc,
+     dproc_acc) = outs
 
     d_attp = attention_param_grads(
-        core_params, dims, att_h, dpq_st[..., dims.p:], dband_acc,
-        dv_acc)
+        core_params, dims, att_h, dq_st, dband_acc, dv_acc)
     d_processed = dproc_acc.reshape(B, T, dims.datt)[:, :t_in].astype(
         processed.dtype)
-    A4 = 4 * dims.a
-    return (dgad_st[..., :A4], dgad_st[..., A4:], dpq_st[..., :dims.p],
-            dctx_st, d_processed, d_attp)
+    return dga_st, dgd_st, dpre_st, dctx_st, d_processed, d_attp
 
 
 def attention_param_grads(core_params, dims: ScanDims, att_h_stack,

@@ -56,41 +56,19 @@ _FLOAT0 = jax.dtypes.float0
 
 
 class _Residuals(NamedTuple):
-    """Per-step stacks saved by the forward scan (time-major, (T, B, ...))
-    in the MERGED stream layout of the Pallas kernels (round 4):
-    ``gad = [ga | gd]`` and ``cc = [att_c | dec_c]``, width-neutral
-    merges that halve the kernels' per-step DMA count. The split views
-    the hoisted einsums and the XLA fallback consume are lazy lane
-    slices (``ga``/``gd``/``att_c``/``dec_c`` properties — XLA fuses a
-    slice of a saved residual into its consumer), and the kernel path
-    feeds the merged arrays straight into the backward kernel's
-    single-fetch streams with no re-concat.
+    """Per-step stacks saved by the forward scan (time-major, (T, B, ...)).
 
     Storage dtype: gate pre-activations and hidden states in the compute
     dtype (their consumers cast to it anyway); cell states and attention
     weights in fp32 (used by fp32 elementwise backward math)."""
-    gad: jnp.ndarray      # (T, B, 4A+4D) both LSTMs' gate pre-activations
+    ga: jnp.ndarray       # (T, B, 4*A) attention-LSTM gate pre-activations
+    gd: jnp.ndarray       # (T, B, 4*D) decoder-LSTM gate pre-activations
     att_h: jnp.ndarray    # (T, B, A) post-dropout attention-LSTM h
     dec_h: jnp.ndarray    # (T, B, D) post-dropout decoder-LSTM h
-    cc: jnp.ndarray       # (T, B, A+D) fp32 cell states
+    att_c: jnp.ndarray    # (T, B, A) fp32
+    dec_c: jnp.ndarray    # (T, B, D) fp32
     ctx: jnp.ndarray      # (T, B, E) fp32 attention context
     w: jnp.ndarray        # (T, B, T_in) fp32 attention weights
-
-    @property
-    def ga(self):
-        return self.gad[..., :4 * self.att_h.shape[-1]]
-
-    @property
-    def gd(self):
-        return self.gad[..., 4 * self.att_h.shape[-1]:]
-
-    @property
-    def att_c(self):
-        return self.cc[..., :self.att_h.shape[-1]]
-
-    @property
-    def dec_c(self):
-        return self.cc[..., self.att_h.shape[-1]:]
 
 
 _warned_fallback = set()
@@ -268,11 +246,9 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
                 dec_h = jnp.where(keep_dec, dec_h / (1.0 - p_dec),
                                   jnp.zeros_like(dec_h))
             new_s = DecoderState(att_h, att_c, dec_h, dec_c, w, wcum, ctx)
-            emit = _Residuals(
-                jnp.concatenate([ga, gd], axis=-1).astype(sdt),
-                att_h.astype(sdt), dec_h.astype(sdt),
-                jnp.concatenate([att_c, dec_c], axis=-1),
-                ctx.astype(jnp.float32), w)
+            emit = _Residuals(ga.astype(sdt), gd.astype(sdt),
+                              att_h.astype(sdt), dec_h.astype(sdt),
+                              att_c, dec_c, ctx.astype(jnp.float32), w)
             return new_s, emit
 
         def step(ss, xs):

@@ -102,11 +102,11 @@ def make_inputs(cfg, dims):
 
 def stub_bwd_kernel_factory(dims, Bt, nsteps, dropout, p_att, p_dec, dtype):
     """Same ref signature as ts._make_bwd_kernel's kernel; trivial body."""
-    n_in = 12 + 5 + (1 if dropout else 0)
+    n_in = 13 + 10 + (2 if dropout else 0)
 
     def kernel(*refs):
         ins = refs[:n_in]
-        outs = refs[n_in:n_in + 6]
+        outs = refs[n_in:n_in + 8]
         # touch one lane of every input block so the fetch is live
         acc = jnp.zeros((1, 1), jnp.float32)
         for r in ins:
@@ -133,8 +133,9 @@ def bwd_call(core, memory, proc, res, cfg, stub: bool):
     w_pad = jnp.pad(res["w"], padT).astype(f32)
     wcum_prev = jnp.cumsum(w_pad, axis=0) - w_pad
     dalign = jnp.pad(res["dalign"].astype(f32), padT)
-    katt = ts.keep_masks(jax.random.PRNGKey(3), T_STEPS, B, dims,
-                         cfg.p_attention_dropout, cfg.p_decoder_dropout)
+    katt, kdec = ts.keep_masks(jax.random.PRNGKey(3), T_STEPS, B, dims,
+                               cfg.p_attention_dropout,
+                               cfg.p_decoder_dropout)
 
     dropout = True
     Bt = B if B <= 128 else 128
@@ -167,45 +168,54 @@ def bwd_call(core, memory, proc, res, cfg, stub: bool):
         return pl.BlockSpec((1, Bt) + shape[1:], imap,
                             memory_space=pltpu.VMEM)
 
-    gad = jnp.concatenate([res["ga"], res["gd"]], -1).astype(dtype)
+    ga = res["ga"].astype(dtype)
+    gd = res["gd"].astype(dtype)
     atth = res["atth"].astype(dtype)
-    cc = jnp.concatenate([res["attc"], res["decc"]], -1).astype(f32)
-    wm = jnp.concatenate([w_pad, wcum_prev], -1)
-    cot = jnp.concatenate([res["ddh"].astype(f32),
-                           res["dctx"].astype(f32), dalign], -1)
-    kk = katt  # merged keep mask (keep_masks returns (T, B, a+d))
+    attc = res["attc"].astype(f32)
+    decc = res["decc"].astype(f32)
+    ddh = res["ddh"].astype(f32)
+    dctx_out = res["dctx"].astype(f32)
 
     if not stub:
         # the real kernel: go through the shipped call (keeps this tool
         # in sync with train_scan's stream layout)
         return ts._bwd_scan_call(
             wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
-            mem_flat, gad, atth, cc, wm, cot, kk, dims=d, dropout=True,
+            mem_flat, ga, gd, atth, attc, decc, w_pad, wcum_prev,
+            ddh, dctx_out, dalign, katt, kdec, dims=d, dropout=True,
             p_att=cfg.p_attention_dropout, p_dec=cfg.p_decoder_dropout,
             interpret=False)
 
-    cc_last, w_last = cc[-1], wm[-1, :, 0:d.t_pad]
+    attc_last, decc_last, w_last = attc[-1], decc[-1], w_pad[-1]
     in_specs = [const(x.shape) for x in
                 (wta, wtd, wq, wqt, band, bandt, rep1, vrep)]
     in_specs += [bconst(proc_flat.shape), bconst(mem_flat.shape),
-                 bconst(cc_last.shape), bconst(w_last.shape)]
-    in_specs += [rev((B, 4 * (d.a + d.d))), rev((B, d.a)),
-                 rev_prev((B, d.a + d.d)), rev_prev((B, 2 * d.t_pad)),
-                 rev((B, d.d + d.e + d.t_pad)), rev((B, d.a + d.d))]
+                 bconst(attc_last.shape), bconst(decc_last.shape),
+                 bconst(w_last.shape)]
+    in_specs += [rev((B, 4 * d.a)), rev((B, 4 * d.d)), rev((B, d.a)),
+                 rev_prev((B, d.a)), rev_prev((B, d.d)),
+                 rev_prev((B, d.t_pad)), rev((B, d.t_pad)),
+                 rev((B, d.d)), rev((B, d.e)), rev((B, d.t_pad))]
     inputs = [wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
-              mem_flat, cc_last, w_last, gad, atth, cc, wm, cot, kk]
+              mem_flat, attc_last, decc_last, w_last,
+              ga, gd, atth, attc, decc, w_pad,
+              wcum_prev, ddh, dctx_out, dalign]
+    in_specs += [rev((B, d.a)), rev((B, d.d))]
+    inputs += [katt, kdec]
 
     outs = [
-        jax.ShapeDtypeStruct((T_STEPS, B, 4 * (d.a + d.d)), dtype),
-        jax.ShapeDtypeStruct((T_STEPS, B, d.p + d.datt), f32),
+        jax.ShapeDtypeStruct((T_STEPS, B, 4 * d.a), dtype),
+        jax.ShapeDtypeStruct((T_STEPS, B, 4 * d.d), dtype),
+        jax.ShapeDtypeStruct((T_STEPS, B, d.p), f32),
         jax.ShapeDtypeStruct((T_STEPS, B, d.e), dtype),
+        jax.ShapeDtypeStruct((T_STEPS, B, d.datt), f32),
         jax.ShapeDtypeStruct((d.cat_w, d.ttd), f32),
         jax.ShapeDtypeStruct((8, d.ttd), f32),
         jax.ShapeDtypeStruct((B, d.t_pad * d.datt), f32),
     ]
-    out_specs = [rev(o.shape[1:]) for o in outs[:3]]
-    out_specs += [const(outs[3].shape), const(outs[4].shape),
-                  bconst(outs[5].shape)]
+    out_specs = [rev(o.shape[1:]) for o in outs[:5]]
+    out_specs += [const(outs[5].shape), const(outs[6].shape),
+                  bconst(outs[7].shape)]
 
     scratch = [
         pltpu.VMEM((Bt, d.a), f32), pltpu.VMEM((Bt, d.a), f32),
@@ -217,7 +227,7 @@ def bwd_call(core, memory, proc, res, cfg, stub: bool):
         pltpu.VMEM((Bt, d.t_pad + 2 * ts.WOFF), f32),
         pltpu.VMEM((Bt, d.t_pad + 2 * ts.WOFF), f32),
         pltpu.VMEM((Bt, d.t_pad + 2 * ts.WOFF), f32),
-        pltpu.VMEM((Bt, d.a + d.d), f32),
+        pltpu.VMEM((Bt, d.a), f32), pltpu.VMEM((Bt, d.d), f32),
         pltpu.VMEM((Bt, d.t_pad), f32),
     ]
     call = pl.pallas_call(
@@ -240,17 +250,18 @@ def fwd_call(core, memory, proc, res, cfg, stub: bool):
     r = np.random.RandomState(1)
     prenet = jax.device_put(
         (r.randn(T_STEPS, B, d.p) * 0.1).astype(np.float32)).astype(dtype)
-    kk = ts.keep_masks(jax.random.PRNGKey(3), T_STEPS, B, dims,
-                       cfg.p_attention_dropout, cfg.p_decoder_dropout)
+    katt, kdec = ts.keep_masks(jax.random.PRNGKey(3), T_STEPS, B, dims,
+                               cfg.p_attention_dropout,
+                               cfg.p_decoder_dropout)
     dropout = True
     Bt = B if B <= 128 else 128
     nb = B // Bt
     if stub:
-        n_in = 12
+        n_in = 13
 
         def kern(*refs):
             ins = refs[:n_in]
-            outs = refs[n_in:n_in + 6]
+            outs = refs[n_in:n_in + 8]
             acc = jnp.zeros((1, 1), jnp.float32)
             for rr in ins:
                 acc = acc + rr[(0,) * (len(rr.shape) - 1)][:1][None, :1] \
@@ -276,14 +287,16 @@ def fwd_call(core, memory, proc, res, cfg, stub: bool):
                 const(b2.shape), const(wq.shape), const(band.shape),
                 const(selv.shape), bconst(proc_flat.shape),
                 bconst(mem_flat.shape), bconst(emask.shape),
-                stream((B, d.p)), stream((B, d.a + d.d))]
+                stream((B, d.p)), stream((B, d.a)), stream((B, d.d))]
     inputs = [w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat, emask,
-              prenet, kk]
+              prenet, katt, kdec]
     outs = [
-        jax.ShapeDtypeStruct((T_STEPS, B, 4 * (d.a + d.d)), dtype),
+        jax.ShapeDtypeStruct((T_STEPS, B, 4 * d.a), dtype),
+        jax.ShapeDtypeStruct((T_STEPS, B, 4 * d.d), dtype),
         jax.ShapeDtypeStruct((T_STEPS, B, d.a), dtype),
         jax.ShapeDtypeStruct((T_STEPS, B, d.d), dtype),
-        jax.ShapeDtypeStruct((T_STEPS, B, d.a + d.d), f32),
+        jax.ShapeDtypeStruct((T_STEPS, B, d.a), f32),
+        jax.ShapeDtypeStruct((T_STEPS, B, d.d), f32),
         jax.ShapeDtypeStruct((T_STEPS, B, d.e), f32),
         jax.ShapeDtypeStruct((T_STEPS, B, d.t_pad), f32),
     ]
