@@ -165,7 +165,12 @@ def _batch_fits(dims: ScanDims, b: int) -> bool:
 # Shared by bwd_supported() and _bwd_scan_call so the gate and the kernel
 # can never disagree (ADVICE r3: a per-shard gate candidate once accepted
 # shapes the trace-time kernel then built WITHOUT the fp32 accumulator).
-_FP32_DPROC_CAP = 128 * 128
+# 128x192 (round 4): deleting the d_M emission stream and slab-trimming
+# the d_band accumulator freed the VMEM that round 3's 128x128 cap
+# protected — the 192-symbol bucket's backward now compiles and runs at
+# B=128 on the chip (103.4 us/step; BENCH_DETAILS round4_bucket192).
+# T_pad=256 stays excluded at B_tile > 64 (_batch_fits t_cap).
+_FP32_DPROC_CAP = 128 * 192
 
 
 def _fp32_dproc_fits(dims: ScanDims, batch: int) -> bool:
@@ -675,9 +680,14 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
             # the exact bilinear-fold chain rule
             # (attention_param_grads), replacing the emitted (T, B,
             # T_pad*datt) d_M stack (2.1 GB HBM at T_in=128) and the
-            # conv-correlation post-pass that consumed it.
+            # conv-correlation post-pass that consumed it. Only the two
+            # WINDOW slabs (cat[:, :2*CS]) accumulate: the query-selector
+            # rows' gradient is structurally discarded outside, and
+            # dropping them shrinks the accumulator 12.6 -> 8.4 MB —
+            # the margin that lets the fp32 d_processed accumulator fit
+            # the 192-symbol bucket at B=128.
             dband_o[:] = dband_o[:] + jax.lax.dot_general(
-                cat[:], dm_c, (((0,), (0,)), ((), ())),
+                cat[:, 0:2 * CS], dm_c, (((0,), (0,)), ((), ())),
                 preferred_element_type=f32)
             dcat = jnp.dot(dm_c, bandt[:], preferred_element_type=f32)
             acc_w[:, i * TT:i * TT + W] = (
@@ -792,7 +802,7 @@ def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
         jax.ShapeDtypeStruct((T_steps, B, d.p), f32),          # d_prenet
         jax.ShapeDtypeStruct((T_steps, B, d.e), dtype),        # d_ctx
         jax.ShapeDtypeStruct((T_steps, B, d.datt), f32),       # d_q
-        jax.ShapeDtypeStruct((d.cat_w, d.ttd), f32),           # d_band
+        jax.ShapeDtypeStruct((2 * CS, d.ttd), f32),           # d_band
         jax.ShapeDtypeStruct((8, d.ttd), f32),                 # d_v acc
         jax.ShapeDtypeStruct((B, d.t_pad * d.datt), f32),      # d_proc
     ]

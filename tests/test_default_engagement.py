@@ -32,10 +32,9 @@ def test_default_trainer_step_traces_through_kernels(monkeypatch):
     """Trace (not execute) the default-config train step and assert both
     Pallas scan kernels are reached. eval_shape runs the Python trace,
     so spies on the kernel entry points observe real engagement."""
-    import numpy as np
-    import jax.numpy as jnp
     from tacotron2_tpu.parallel import create_mesh, create_sharded_state, \
         make_train_step
+    from __graft_entry__ import _make_batch
 
     calls = {"fwd": 0, "bwd": 0}
     real_fwd = train_scan.forward_residuals
@@ -58,13 +57,7 @@ def test_default_trainer_step_traces_through_kernels(monkeypatch):
     state = create_sharded_state(jax.random.PRNGKey(0), cfg, mesh)
     step = make_train_step(cfg, mesh, state)
 
-    batch = {
-        "text": jnp.zeros((B, T_in), jnp.int32),
-        "text_lengths": jnp.full((B,), T_in, jnp.int32),
-        "mel": jnp.zeros((B, T_out, cfg.n_mel_channels), jnp.float32),
-        "gate": jnp.zeros((B, T_out), jnp.float32),
-        "mel_lengths": jnp.full((B,), T_out, jnp.int32),
-    }
+    batch = _make_batch(cfg, B=B, T_in=T_in, T_out=T_out)
     jax.eval_shape(step, state, batch, jax.random.PRNGKey(1))
     assert calls["fwd"] >= 1, "default config must engage the fwd kernel"
     assert calls["bwd"] >= 1, "default config must engage the bwd kernel"

@@ -249,6 +249,11 @@ def test_supported_envelope():
     assert train_scan.bwd_supported(cfg, 24, 8)
     assert train_scan.supported(cfg, 192, 128)           # fwd ok at 192
     assert train_scan.bwd_supported(cfg, 192, 64)        # 64*192 fits
+    # round 4: the full kernel path covers the real workload's longest
+    # bucket — the fp32 accumulator fits 128x192 after the d_M stream
+    # removal + d_band slab trim (VERDICT r3 #2)
+    assert train_scan.bwd_supported(cfg, 192, 128)
+    assert not train_scan.bwd_supported(cfg, 256, 128)   # beyond the cap
     assert not train_scan.supported(cfg.replace(compute_dtype="float32"),
                                     128, 128)
     assert not train_scan.supported(cfg.replace(attention_dim=96), 128, 128)

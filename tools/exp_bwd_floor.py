@@ -209,7 +209,7 @@ def bwd_call(core, memory, proc, res, cfg, stub: bool):
         jax.ShapeDtypeStruct((T_STEPS, B, d.p), f32),
         jax.ShapeDtypeStruct((T_STEPS, B, d.e), dtype),
         jax.ShapeDtypeStruct((T_STEPS, B, d.datt), f32),
-        jax.ShapeDtypeStruct((d.cat_w, d.ttd), f32),
+        jax.ShapeDtypeStruct((2 * ts.CS, d.ttd), f32),
         jax.ShapeDtypeStruct((8, d.ttd), f32),
         jax.ShapeDtypeStruct((B, d.t_pad * d.datt), f32),
     ]
@@ -324,7 +324,7 @@ def postpass_call(core, memory, proc, res, cfg, _):
     """attention_param_grads standalone (round-4 d_band form)."""
     d = ts.scan_dims(cfg, memory.shape[1])
     key = jax.random.PRNGKey(9)
-    dband = jax.random.normal(key, (d.cat_w, d.ttd)) * 0.1
+    dband = jax.random.normal(key, (2 * ts.CS, d.ttd)) * 0.1
     dq_st = jax.random.normal(key, (T_STEPS, B, d.datt)) * 0.1
     dv_acc = jnp.zeros((8, d.ttd), jnp.float32)
     return ts.attention_param_grads(core, d, res["atth"], dq_st, dband,
