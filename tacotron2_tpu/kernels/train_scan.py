@@ -101,7 +101,12 @@ NEG = -1e30  # additive mask stand-in for -inf (keeps softmax finite)
 
 TT = 64      # encoder-position tile size of the flat attention layout
 WOFF = 16    # window margin (>= (ks-1)//2; ks <= 33)
-CS = 128     # channel stride inside the cat vector (lane-aligned slots)
+# Channel stride inside the cat vector. 96 = w_win exactly (round 4):
+# the two window slabs pack back to back with no zero-padding rows, so
+# the banded matmuls contract 320 instead of 384 rows (-17% FLOPs) and
+# band/bandt/d_band shrink accordingly. The slab boundary sits at lane
+# 96 (not vreg-aligned) — measured on-chip before adoption.
+CS = 96
 
 
 class ScanDims(NamedTuple):
