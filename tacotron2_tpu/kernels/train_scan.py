@@ -132,8 +132,9 @@ class ScanDims(NamedTuple):
 
     @property
     def cat_w(self) -> int:
-        """Width of the per-tile cat vector: two CS-aligned channel slots
-        ([0:w_win) and [CS:CS+w_win), margins zero) plus the query."""
+        """Width of the per-tile cat vector: two packed channel slots
+        ([0:w_win) and [CS:CS+w_win)) plus the query. With CS == w_win
+        (96) the slabs abut gap-free — no zero margin rows."""
         return 2 * CS + self.datt
 
     @property

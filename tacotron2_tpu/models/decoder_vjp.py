@@ -454,7 +454,8 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
             # data-gradient chain with the transposed weights
             # VMEM-resident and emits the same per-step cotangent stacks
             # the hoisted einsums below consume; the attention parameter
-            # gradients come back hoisted from its d_M/d_q stacks
+            # gradients come back from its in-kernel d_band accumulator
+            # (bilinear-fold chain rule) and d_q stack
             # (kernels/train_scan.py:backward_chain).
             (dga_st, dgd_st, dpre_st, dctx_st, d_proc_k,
              d_attp_k) = train_scan.backward_chain(

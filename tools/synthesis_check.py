@@ -108,9 +108,21 @@ def run_gate(steps: int, seeds, text: str, tolerance_hz: float,
                        and res["chars_matched"] == res["total"])
         runs[f"seed{seed}"] = res
     import datetime
+    import subprocess
+    try:
+        code_state = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip() or "unknown"
+    except OSError:
+        code_state = "unknown"
     gate = {
         "date": datetime.date.today().isoformat(),
         "steps": steps,
+        "code_state": code_state,
+        "note": (f"two-seed tone-corpus gate at {steps} steps/seed; pass = "
+                 "every tone recognized with matched character count in "
+                 "every run"),
         "text": text,
         "runs": runs,
         "pass": all(r["pass"] for r in runs.values()),
