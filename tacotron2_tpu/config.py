@@ -184,6 +184,13 @@ class Tacotron2Config:
     # kernels/train_scan.bwd_supported); other shapes take the XLA
     # custom-VJP backward.
     pallas_train_scan_bwd: bool = True
+    # Force Pallas interpret lowering for the training-scan kernels.
+    # None = auto (interpret off-TPU). Needed when the process default
+    # backend is a TPU but the computation targets a CPU mesh (the
+    # virtual-device multichip dryrun under the forced-axon runtime):
+    # auto-detection sees "tpu" and would emit a native Mosaic call
+    # that the CPU backend rejects.
+    pallas_interpret: Optional[bool] = None
     # Checkpoint policy name (jax.checkpoint_policies.*) for the decoder
     # scan step, e.g. "dots_saveable": save only matmul outputs, recompute
     # elementwise ops in the backward — less residual HBM traffic than

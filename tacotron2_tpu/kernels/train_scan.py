@@ -504,6 +504,8 @@ def forward_residuals(core_params, prenet_steps, memory, processed, mask,
     """
     dims = scan_dims(cfg, memory.shape[1])
     if interpret is None:
+        interpret = cfg.pallas_interpret
+    if interpret is None:
         interpret = jax.default_backend() != "tpu"
     T_steps, B, _ = prenet_steps.shape
     t_in = memory.shape[1]
@@ -855,6 +857,8 @@ def backward_chain(core_params, res, memory, processed, mask, scan_rng,
     LSTM einsums.
     """
     dims = scan_dims(cfg, memory.shape[1])
+    if interpret is None:
+        interpret = cfg.pallas_interpret
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     (ga, gd, att_h, dec_h, att_c, dec_c, ctx, w) = res

@@ -152,3 +152,45 @@ class TestShardedTraining:
         breakdown, output = eval_fn(state, batch)
         assert np.isfinite(float(breakdown.total))
         assert output.mel.shape == (8, 16, CFG.n_mel_channels)
+
+
+@pytest.mark.slow
+def test_dp_step_kernel_bf16_matches_single_device():
+    """bf16 sharded step WITH the Pallas training-scan kernels engaged
+    (fwd + bwd, interpret lowering) must match the single-device step
+    running the same kernel program — GSPMD partitioning of the
+    Mosaic calls may not change the math (VERDICT r4 #2). The fp32
+    tests above cover layout equivalence of the XLA path; this covers
+    the kernel path at bf16 tolerance."""
+    from tacotron2_tpu.kernels import train_scan
+
+    cfg = Tacotron2Config(
+        n_symbols=40, symbols_embedding_dim=128, encoder_embedding_dim=128,
+        encoder_n_convolutions=1, attention_rnn_dim=128, decoder_rnn_dim=128,
+        prenet_dim=128, attention_dim=128, attention_location_n_filters=4,
+        attention_location_kernel_size=7, n_mel_channels=16,
+        compute_dtype="bfloat16", custom_vjp_decoder=True,
+        pallas_train_scan=True, pallas_train_scan_bwd=True,
+        batch_size=64, mesh_shape=(8, 1))
+    T_in, T_out = 16, 8
+    assert train_scan.supported(cfg, T_in, cfg.batch_size)
+    assert train_scan.bwd_supported(cfg, T_in, cfg.batch_size)
+    batch = make_batch(B=64, T_in=T_in, T_out=T_out)
+    # gate targets in make_batch index n_symbols=148; clamp text ids
+    batch = batch._replace(text=jnp.clip(batch.text, 0, cfg.n_symbols - 1))
+    rng = jax.random.PRNGKey(7)
+
+    mesh = create_mesh((8, 1))
+    state_sharded = create_sharded_state(jax.random.PRNGKey(0), cfg, mesh)
+    sharded_step = make_train_step(cfg, mesh, state_sharded)
+    new_sharded, metrics_sharded = sharded_step(state_sharded, batch, rng)
+
+    state_single = create_train_state(jax.random.PRNGKey(0), cfg)
+    new_single, metrics_single, _ = jax.jit(
+        lambda s, b, r: train_step(s, b, r, cfg))(state_single, batch, rng)
+
+    np.testing.assert_allclose(float(metrics_sharded.loss),
+                               float(metrics_single.loss), rtol=1e-3)
+    a = np.asarray(new_sharded.params["decoder"]["gate"]["kernel"])
+    b = np.asarray(new_single.params["decoder"]["gate"]["kernel"])
+    np.testing.assert_allclose(a, b, atol=1e-4)
