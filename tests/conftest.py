@@ -23,3 +23,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the fast tier's cost is dominated by CPU
+# XLA compiles of the decoder-scan graphs (one per distinct
+# shape/flag combination); caching them makes re-runs cheap
+# (VERDICT r4 #6). Safe across -n workers (the cache is content-keyed
+# and write-once per key).
+jax.config.update("jax_compilation_cache_dir", "/tmp/tacotron2_test_jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

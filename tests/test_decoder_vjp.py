@@ -157,6 +157,7 @@ def test_grad_parity_bf16(setup):
                                    err_msg=path)
 
 
+@pytest.mark.slow
 def test_grad_zero_outside_decoder(setup):
     """Params not used by the decoder scan (postnet, encoder convs) get
     exactly zero gradient through decode_teacher_forced in both paths."""

@@ -163,6 +163,7 @@ class TestTeacherForcedDecoder:
         np.testing.assert_array_equal(np.asarray(o1.mel_postnet),
                                       np.asarray(o2.mel_postnet))
 
+    @pytest.mark.slow
     def test_training_dropout_changes_output(self, params_stats, batch):
         params, stats = params_stats
         text, text_lengths, mels, out_lengths = batch

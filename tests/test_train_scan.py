@@ -389,6 +389,7 @@ def test_kernel_config_engages_kernel(monkeypatch):
     assert calls, "default-config train step fell back to the XLA scan"
 
 
+@pytest.mark.slow
 def test_sharded_step_with_kernel_8dev():
     """The kernel path composes with the dp-sharded pjit train step on
     the 8-virtual-device mesh (interpret lowering — validates sharded
