@@ -494,13 +494,17 @@ def _scan_call(w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat, emask,
 
 def forward_residuals(core_params, prenet_steps, memory, processed, mask,
                       scan_rng, cfg: Tacotron2Config, dropout_active: bool,
-                      interpret: Optional[bool] = None):
+                      interpret: Optional[bool] = None, keep=None):
     """Run the fused forward scan; returns the 8 time-major residual
     stacks (ga, gd, att_h, dec_h, att_c, dec_c, ctx, w) with w trimmed to
     the true T_in — the same values ``decoder_vjp._forward`` produces.
 
     ``prenet_steps``: (T_steps, B, prenet_dim) time-major (any dtype;
     cast to bf16). ``interpret`` defaults to True off-TPU (CPU tests).
+    ``keep``: optional precomputed (katt, kdec) keep-mask stacks from
+    ``keep_masks`` — the custom-VJP driver generates them ONCE and
+    threads them through its residuals so the backward does not re-derive
+    them (round 5; the double generation cost ~4.5 ms/step at B=128).
     """
     dims = scan_dims(cfg, memory.shape[1])
     if interpret is None:
@@ -514,12 +518,14 @@ def forward_residuals(core_params, prenet_steps, memory, processed, mask,
     w1, b1, w2, b2, wq, band, selv = pack_weights(core_params, dims, dtype)
     mem_flat, proc_flat, emask = pack_batch(memory, processed, mask, dims,
                                             dtype)
-    if dropout_active:
+    if not dropout_active:
+        katt = kdec = jnp.zeros((1,), jnp.float32)  # unused placeholder
+    elif keep is not None:
+        katt, kdec = keep
+    else:
         katt, kdec = keep_masks(scan_rng, T_steps, B, dims,
                                 cfg.p_attention_dropout,
                                 cfg.p_decoder_dropout)
-    else:
-        katt = kdec = jnp.zeros((1,), jnp.float32)  # unused placeholder
 
     outs = _scan_call(w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat,
                       emask, prenet_steps.astype(dtype), katt, kdec,
@@ -848,7 +854,7 @@ def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
 def backward_chain(core_params, res, memory, processed, mask, scan_rng,
                    d_dec_h_out, d_ctx_out, d_align_out,
                    cfg: Tacotron2Config, dropout_active: bool,
-                   interpret: Optional[bool] = None):
+                   interpret: Optional[bool] = None, keep=None):
     """Run the fused backward chain. ``res`` is the _Residuals tuple of
     time-major stacks from the forward. Cotangents are (T, B, ...)
     time-major. Returns (dga_stack, dgd_stack, d_prenet, dctx_stack,
@@ -877,12 +883,14 @@ def backward_chain(core_params, res, memory, processed, mask, scan_rng,
     wcum_prev = jnp.cumsum(w_pad, axis=0) - w_pad   # exclusive prefix
     dalign = jnp.pad(d_align_out.astype(f32), padT)
 
-    if dropout_active:
+    if not dropout_active:
+        katt = kdec = jnp.zeros((1,), f32)
+    elif keep is not None:
+        katt, kdec = keep  # threaded from the forward (no re-derivation)
+    else:
         katt, kdec = keep_masks(scan_rng, T_steps, B, dims,
                                 cfg.p_attention_dropout,
                                 cfg.p_decoder_dropout)
-    else:
-        katt = kdec = jnp.zeros((1,), f32)
 
     outs = _bwd_scan_call(
         wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat, mem_flat,

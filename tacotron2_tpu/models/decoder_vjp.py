@@ -202,14 +202,15 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
         return keep_att, keep_dec
 
     # ------------------------------------------------------------ forward
-    def _forward(dp, prenet_steps, memory, processed, mask, scan_rng):
+    def _forward(dp, prenet_steps, memory, processed, mask, scan_rng,
+                 keep=None):
         if cfg.pallas_train_scan:
             from tacotron2_tpu.kernels import train_scan
             if n_il == 1 and train_scan.supported(
                     cfg, memory.shape[1], prenet_steps.shape[1]):
                 outs = train_scan.forward_residuals(
                     dp, prenet_steps, memory, processed, mask, scan_rng,
-                    cfg, dropout_active)
+                    cfg, dropout_active, keep=keep)
                 return (_Residuals(*outs),)
             # warn on ANY fallback, including decoder_interleave > 1
             # (supported() also rejects it, so it reports the reason)
@@ -281,20 +282,40 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
                 _cat([r.ctx for r in res_chunks]),
                 _cat([r.w for r in res_chunks]))
 
+    def _kernel_keep_masks(prenet_steps, memory, scan_rng):
+        """Generate the kernel paths' dropout keep masks ONCE (round 5):
+        the forward streams them in and the backward needs the identical
+        stacks — threading them through the residuals saves the backward
+        re-derivation (~2.3 ms per step at B=128, T_steps=512) at zero
+        extra HBM traffic (the stacks are kernel operands either way)."""
+        if not dropout_active or not cfg.pallas_train_scan or n_il != 1:
+            return None
+        from tacotron2_tpu.kernels import train_scan
+        T_steps, B = prenet_steps.shape[0], prenet_steps.shape[1]
+        T_in = memory.shape[1]
+        if not (train_scan.supported(cfg, T_in, B)
+                and cfg.pallas_train_scan_bwd
+                and train_scan.bwd_supported(cfg, T_in, B)):
+            return None
+        return train_scan.keep_masks(
+            scan_rng, T_steps, B, train_scan.scan_dims(cfg, T_in),
+            cfg.p_attention_dropout, cfg.p_decoder_dropout)
+
     def fwd(dp, prenet_steps, memory, processed, mask, scan_rng):
+        keep = _kernel_keep_masks(prenet_steps, memory, scan_rng)
         res_chunks = _forward(dp, prenet_steps, memory, processed, mask,
-                              scan_rng)
+                              scan_rng, keep=keep)
         out = (_cat([r.dec_h for r in res_chunks]),
                _cat([r.ctx for r in res_chunks]),
                _cat([r.w for r in res_chunks]))
         saved = (dp, prenet_steps, memory, processed, mask, scan_rng,
-                 res_chunks)
+                 res_chunks, keep)
         return out, saved
 
     # ----------------------------------------------------------- backward
     def bwd(saved, cotangents):
         (dp, prenet_steps, memory, processed, mask, scan_rng,
-         res_chunks) = saved
+         res_chunks, keep) = saved
         d_dec_h_out, d_ctx_out, d_align_out = cotangents
         T, B, P = prenet_steps.shape
         T_in = memory.shape[1]
@@ -460,7 +481,8 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
             (dga_st, dgd_st, dpre_st, dctx_st, d_proc_k,
              d_attp_k) = train_scan.backward_chain(
                 dp, res_chunks[0], memory, processed, mask, scan_rng,
-                d_dec_h_out, d_ctx_out, d_align_out, cfg, dropout_active)
+                d_dec_h_out, d_ctx_out, d_align_out, cfg, dropout_active,
+                keep=keep)
             carries = ((None,) * 7 + (d_proc_k, d_attp_k),)
             emits = ((dga_st, dgd_st, dpre_st, dctx_st),)
         else:

@@ -117,7 +117,199 @@ def stub_bwd_kernel_factory(dims, Bt, nsteps, dropout, p_att, p_dec, dtype):
     return kernel
 
 
-def bwd_call(core, memory, proc, res, cfg, stub: bool):
+def bwd_variant_kernel_factory(dims, B, nsteps, p_att, p_dec, dtype,
+                               variant):
+    """Round-5 ablation: the shipped backward body with ONE section
+    replaced by a near-free stand-in (all streams and carries live).
+
+    Variants: noctxbwd (T-iteration dw_from_ctx reduction loop),
+    noattbwd (whole per-tile energies backward), norecompute (just the
+    in-tile cat@band + tanh rematerialization), nolstm1bwd / nolstm2bwd
+    (the transposed gate matmuls), novpugates (both lstm_gates_bwd
+    transcendental chains).
+    """
+    d = dims
+    T = d.t_pad
+    W = d.w_win
+    f32 = jnp.float32
+    s_att = 1.0 / (1.0 - p_att) if p_att > 0 else 1.0
+    s_dec = 1.0 / (1.0 - p_dec) if p_dec > 0 else 1.0
+    CS, TT, WOFF = ts.CS, ts.TT, ts.WOFF
+
+    def lstm_gates_bwd(g, c_prev, c_new, dh, dc_in, H):
+        if variant == "novpugates":
+            dgates = jnp.concatenate([dh, dh, dh, dh], axis=-1) \
+                + c_new[:, :1] * 0.0 + c_prev[:, :1] * 0.0
+            return dgates, dh + dc_in
+        i_ = jax.nn.sigmoid(g[:, 0:H])
+        f_ = jax.nn.sigmoid(g[:, H:2 * H])
+        g_ = jnp.tanh(g[:, 2 * H:3 * H])
+        o_ = jax.nn.sigmoid(g[:, 3 * H:4 * H])
+        tc = jnp.tanh(c_new)
+        do = dh * tc
+        dc = dc_in + dh * o_ * (1.0 - tc * tc)
+        di = dc * g_
+        df = dc * c_prev
+        dg = dc * i_
+        dc_prev = dc * f_
+        dgates = jnp.concatenate([
+            di * i_ * (1.0 - i_), df * f_ * (1.0 - f_),
+            dg * (1.0 - g_ * g_), do * o_ * (1.0 - o_)], axis=-1)
+        return dgates, dc_prev
+
+    def kernel(*refs):
+        it = iter(refs)
+        (wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc, mem,
+         attc_l, decc_l, w_l) = (next(it) for _ in range(13))
+        (ga_r, gd_r, atth_r, attc_p_r, decc_p_r,
+         w_p_r, wcum_p_r, ddh_r, dctx_o_r, dalign_r) = \
+            (next(it) for _ in range(10))
+        katt_r = next(it)
+        kdec_r = next(it)
+        (dga_o, dgd_o, dpre_o, dctx_o, dq_o, dband_o, dv_o, dproc_o) = \
+            (next(it) for _ in range(8))
+        (c_dah, c_dac, c_ddh, c_ddc, c_dw, c_dwc, c_dctx,
+         cat, wp_s, wc_s, acc_w, acc_wc,
+         s_attc, s_decc, s_w) = (next(it) for _ in range(15))
+
+        pid = pl.program_id(1)
+        first = pid == 0
+        last = pid == nsteps - 1
+
+        @pl.when(first)
+        def _():
+            c_dah[:] = jnp.zeros_like(c_dah)
+            c_dac[:] = jnp.zeros_like(c_dac)
+            c_ddh[:] = jnp.zeros_like(c_ddh)
+            c_ddc[:] = jnp.zeros_like(c_ddc)
+            c_dw[:] = jnp.zeros_like(c_dw)
+            c_dwc[:] = jnp.zeros_like(c_dwc)
+            c_dctx[:] = jnp.zeros_like(c_dctx)
+            cat[:] = jnp.zeros_like(cat)
+            wp_s[:] = jnp.zeros_like(wp_s)
+            wc_s[:] = jnp.zeros_like(wc_s)
+            s_attc[:] = attc_l[:]
+            s_decc[:] = decc_l[:]
+            s_w[:] = w_l[:]
+
+        @pl.when(jnp.logical_and(first, pl.program_id(0) == 0))
+        def _():
+            dv_o[:] = jnp.zeros_like(dv_o)
+            dband_o[:] = jnp.zeros_like(dband_o)
+
+        @pl.when(first)
+        def _():
+            dproc_o[:] = jnp.zeros_like(dproc_o)
+
+        zmask = jnp.where(last, 0.0, 1.0)
+        attc_p = attc_p_r[0] * zmask
+        decc_p = decc_p_r[0] * zmask
+        wp_s[:, WOFF:WOFF + T] = w_p_r[0] * zmask
+        wc_s[:, WOFF:WOFF + T] = wcum_p_r[0] * zmask
+
+        ddh_total = (c_ddh[:] + ddh_r[0]) * (kdec_r[0].astype(f32) * s_dec)
+        dgd, ddc_prev = lstm_gates_bwd(gd_r[0].astype(f32), decc_p,
+                                       s_decc[:], ddh_total, c_ddc[:], d.d)
+        dgd_c = dgd.astype(dtype)
+        if variant != "nolstm2bwd":
+            dxd = jnp.dot(dgd_c, wtd[:], preferred_element_type=f32)
+        else:
+            dxd = jnp.zeros((B, d.k2), f32) + dgd[:, :1]
+        dctx_total = c_dctx[:] + dctx_o_r[0] + dxd[:, d.a:d.a + d.e]
+
+        dctx_b = dctx_total
+        if variant != "noctxbwd":
+            vals = []
+            for tt in range(T):
+                vals.append(jnp.sum(
+                    dctx_b * mem[:, tt * d.e:(tt + 1) * d.e].astype(f32),
+                    axis=1, keepdims=True))
+            dw_from_ctx = jnp.concatenate(vals, axis=1)
+        else:
+            dw_from_ctx = dctx_b[:, :1] + jnp.zeros((B, T), f32) \
+                + mem[:, :1].astype(f32) * 0.0
+
+        dw_total = c_dw[:] + c_dwc[:] + dalign_r[0] + dw_from_ctx
+        w_t = s_w[:]
+        s = jnp.sum(w_t * dw_total, axis=1, keepdims=True)
+        de = w_t * (dw_total - s)
+
+        if variant != "noattbwd":
+            q = jnp.dot(atth_r[0], wq[:], preferred_element_type=f32)
+            cat[:, 2 * CS:2 * CS + d.datt] = q.astype(dtype)
+            acc_w[:] = jnp.zeros_like(acc_w)
+            acc_wc[:] = jnp.zeros_like(acc_wc)
+            dq = jnp.zeros((B, d.datt), f32)
+            for i in range(d.n_tiles):
+                cat[:, 0:W] = wp_s[:, i * TT:i * TT + W].astype(dtype)
+                cat[:, CS:CS + W] = wc_s[:, i * TT:i * TT + W].astype(
+                    dtype)
+                if variant != "norecompute":
+                    m = jnp.dot(cat[:], band[:], preferred_element_type=f32)
+                    feat = jnp.tanh(
+                        m + proc[:, i * d.ttd:(i + 1) * d.ttd].astype(f32))
+                else:
+                    feat = proc[:, i * d.ttd:(i + 1) * d.ttd].astype(f32)
+                de_rep = jnp.dot(de[:, i * TT:(i + 1) * TT].astype(dtype),
+                                 rep1[:], preferred_element_type=f32)
+                dfeat = de_rep * vrep[0]
+                dm = dfeat * (1.0 - feat * feat)
+                dv_o[0:1, :] = dv_o[0:1, :] + jnp.sum(
+                    feat * de_rep, axis=0, keepdims=True)
+                dproc_o[:, i * d.ttd:(i + 1) * d.ttd] = (
+                    dproc_o[:, i * d.ttd:(i + 1) * d.ttd] + dm)
+                dm_c = dm.astype(dtype)
+                dband_o[:] = dband_o[:] + jax.lax.dot_general(
+                    cat[:, 0:2 * CS], dm_c, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                dcat = jnp.dot(dm_c, bandt[:], preferred_element_type=f32)
+                acc_w[:, i * TT:i * TT + W] = (
+                    acc_w[:, i * TT:i * TT + W] + dcat[:, 0:W])
+                acc_wc[:, i * TT:i * TT + W] = (
+                    acc_wc[:, i * TT:i * TT + W] + dcat[:, CS:CS + W])
+                dq = dq + dcat[:, 2 * CS:2 * CS + d.datt]
+        else:
+            dq = de[:, 0:d.datt] + atth_r[0][:, :1].astype(f32) * 0.0
+            acc_w[:] = jnp.zeros_like(acc_w)
+            acc_wc[:] = jnp.zeros_like(acc_wc)
+            acc_w[:, WOFF:WOFF + T] = de * 0.1
+            acc_wc[:, WOFF:WOFF + T] = de * 0.1
+        dq_o[0] = dq
+        if variant != "nolstm1bwd":
+            dah_attn = jnp.dot(dq.astype(dtype), wqt[:],
+                               preferred_element_type=f32)
+        else:
+            dah_attn = jnp.zeros((B, d.a), f32) + dq[:, :1]
+
+        dah_total = (c_dah[:] + dxd[:, 0:d.a] + dah_attn) \
+            * (katt_r[0].astype(f32) * s_att)
+        dga, dac_prev = lstm_gates_bwd(ga_r[0].astype(f32), attc_p,
+                                       s_attc[:], dah_total, c_dac[:], d.a)
+        dga_c = dga.astype(dtype)
+        if variant != "nolstm1bwd":
+            dxa = jnp.dot(dga_c, wta[:], preferred_element_type=f32)
+        else:
+            dxa = jnp.zeros((B, d.k1), f32) + dga[:, :1]
+
+        dga_o[0] = dga_c
+        dgd_o[0] = dgd_c
+        dpre_o[0] = dxa[:, 0:d.p]
+        dctx_o[0] = dctx_total.astype(dtype)
+        c_dah[:] = dxa[:, d.p + d.e:d.k1]
+        c_dac[:] = dac_prev
+        c_ddh[:] = dxd[:, d.a + d.e:d.k2]
+        c_ddc[:] = ddc_prev
+        c_dw[:] = acc_w[:, WOFF:WOFF + T]
+        c_dwc[:] = c_dwc[:] + acc_wc[:, WOFF:WOFF + T]
+        c_dctx[:] = dxa[:, d.p:d.p + d.e]
+        s_attc[:] = attc_p_r[0]
+        s_decc[:] = decc_p_r[0]
+        s_w[:] = w_p_r[0]
+
+    return kernel
+
+
+def bwd_call(core, memory, proc, res, cfg, stub, variant=None):
     """ts._bwd_scan_call's plumbing with a selectable kernel body."""
     dims = ts.scan_dims(cfg, memory.shape[1])
     t_in = memory.shape[1]
@@ -144,6 +336,11 @@ def bwd_call(core, memory, proc, res, cfg, stub: bool):
         kern = stub_bwd_kernel_factory(d, Bt, T_STEPS, dropout,
                                        cfg.p_attention_dropout,
                                        cfg.p_decoder_dropout, dtype)
+    elif variant:
+        kern = bwd_variant_kernel_factory(d, Bt, T_STEPS,
+                                          cfg.p_attention_dropout,
+                                          cfg.p_decoder_dropout, dtype,
+                                          variant)
     else:
         kern = ts._make_bwd_kernel(d, Bt, T_STEPS, dropout,
                                    cfg.p_attention_dropout,
@@ -176,7 +373,7 @@ def bwd_call(core, memory, proc, res, cfg, stub: bool):
     ddh = res["ddh"].astype(f32)
     dctx_out = res["dctx"].astype(f32)
 
-    if not stub:
+    if not stub and not variant:
         # the real kernel: go through the shipped call (keeps this tool
         # in sync with train_scan's stream layout)
         return ts._bwd_scan_call(
@@ -239,7 +436,125 @@ def bwd_call(core, memory, proc, res, cfg, stub: bool):
     return call(*inputs)
 
 
-def fwd_call(core, memory, proc, res, cfg, stub: bool):
+def fwd_variant_kernel_factory(dims, B, p_att, p_dec, dtype, variant):
+    """Round-5 ablation: the shipped forward body with ONE section
+    replaced by a near-free stand-in (all streams and state updates
+    kept live), so each section's serialized cost = full - variant.
+
+    Variants: noatt (tile matmuls+softmax -> state-derived wnew),
+    noctx (T-iteration VPU context reduction -> slice of h1d),
+    nolstm1 / nolstm2 (the big gate matmul -> bias broadcast).
+    """
+    d = dims
+    T = d.t_pad
+    W = d.w_win
+    f32 = jnp.float32
+    s_att = 1.0 / (1.0 - p_att) if p_att > 0 else 1.0
+    s_dec = 1.0 / (1.0 - p_dec) if p_dec > 0 else 1.0
+    CS, TT = ts.CS, ts.TT
+
+    def kernel(*refs):
+        it = iter(refs)
+        w1, b1, w2, b2, wq, band, selv, proc, mem, emask = \
+            (next(it) for _ in range(10))
+        prenet_r = next(it)
+        katt_r = next(it)
+        kdec_r = next(it)
+        (ga_r, gd_r, atth_r, dech_r, attc_r, decc_r, ctx_r, w_r) = \
+            (next(it) for _ in range(8))
+        (x1, x2, cat, h1s, c1s, h2s, c2s, wsp, wcsp, ctxs, efull) = \
+            (next(it) for _ in range(11))
+
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            h1s[:] = jnp.zeros_like(h1s)
+            c1s[:] = jnp.zeros_like(c1s)
+            h2s[:] = jnp.zeros_like(h2s)
+            c2s[:] = jnp.zeros_like(c2s)
+            wsp[:] = jnp.zeros_like(wsp)
+            wcsp[:] = jnp.zeros_like(wcsp)
+            ctxs[:] = jnp.zeros_like(ctxs)
+            cat[:] = jnp.zeros_like(cat)
+
+        if variant != "nolstm1":
+            x1[:, 0:d.p] = prenet_r[0]
+            x1[:, d.p:d.p + d.e] = ctxs[:].astype(dtype)
+            x1[:, d.p + d.e:d.k1] = h1s[:].astype(dtype)
+            g1 = jnp.dot(x1[:], w1[:], preferred_element_type=f32) + b1[0]
+        else:  # keep prenet/state dependencies live, skip the matmul
+            g1 = (jnp.zeros((B, 4 * d.a), f32) + b1[0]
+                  + prenet_r[0][:, :1].astype(f32) + h1s[:, :1])
+        c1n = (jax.nn.sigmoid(g1[:, d.a:2 * d.a]) * c1s[:]
+               + jax.nn.sigmoid(g1[:, 0:d.a])
+               * jnp.tanh(g1[:, 2 * d.a:3 * d.a]))
+        h1n = jax.nn.sigmoid(g1[:, 3 * d.a:4 * d.a]) * jnp.tanh(c1n)
+        h1d = h1n * (katt_r[0].astype(f32) * s_att)
+
+        if variant != "noatt":
+            q = jnp.dot(h1d.astype(dtype), wq[:],
+                        preferred_element_type=f32)
+            cat[:, 2 * CS:2 * CS + d.datt] = q.astype(dtype)
+            for i in range(d.n_tiles):
+                cat[:, 0:W] = wsp[:, i * TT:i * TT + W].astype(dtype)
+                cat[:, CS:CS + W] = wcsp[:, i * TT:i * TT + W].astype(dtype)
+                m = jnp.dot(cat[:], band[:], preferred_element_type=f32)
+                feat = jnp.tanh(
+                    m + proc[:, i * d.ttd:(i + 1) * d.ttd].astype(f32))
+                efull[:, i * TT:(i + 1) * TT] = jnp.dot(
+                    feat.astype(dtype), selv[:], preferred_element_type=f32)
+            e = efull[:] + emask[:]
+            mx = jnp.max(e, axis=1, keepdims=True)
+            ex = jnp.exp(e - mx)
+            wnew = ex / jnp.sum(ex, axis=1, keepdims=True)
+        else:  # state- and h1-dependent stand-in, no tile matmuls
+            wnew = wsp[:, ts.WOFF:ts.WOFF + T] * 0.5 + h1d[:, :1] * 0.0 \
+                + 1.0 / T
+
+        if variant != "noctx":
+            ctx = jnp.zeros((B, d.e), f32)
+            for tt in range(T):
+                ctx = ctx + wnew[:, tt:tt + 1] * mem[:, tt * d.e:
+                                                     (tt + 1) * d.e
+                                                     ].astype(f32)
+        else:  # keep the wnew dependency live, skip the reduction
+            ctx = h1d[:, :d.e] + wnew[:, :1]
+
+        if variant != "nolstm2":
+            x2[:, 0:d.a] = h1d.astype(dtype)
+            x2[:, d.a:d.a + d.e] = ctx.astype(dtype)
+            x2[:, d.a + d.e:d.k2] = h2s[:].astype(dtype)
+            g2 = jnp.dot(x2[:], w2[:], preferred_element_type=f32) + b2[0]
+        else:
+            g2 = (jnp.zeros((B, 4 * d.d), f32) + b2[0]
+                  + h1d[:, :1] + ctx[:, :1] + h2s[:, :1])
+        c2n = (jax.nn.sigmoid(g2[:, d.d:2 * d.d]) * c2s[:]
+               + jax.nn.sigmoid(g2[:, 0:d.d])
+               * jnp.tanh(g2[:, 2 * d.d:3 * d.d]))
+        h2n = jax.nn.sigmoid(g2[:, 3 * d.d:4 * d.d]) * jnp.tanh(c2n)
+        h2d = h2n * (kdec_r[0].astype(f32) * s_dec)
+
+        ga_r[0] = g1.astype(dtype)
+        gd_r[0] = g2.astype(dtype)
+        atth_r[0] = h1d.astype(dtype)
+        dech_r[0] = h2d.astype(dtype)
+        attc_r[0] = c1n
+        decc_r[0] = c2n
+        ctx_r[0] = ctx
+        w_r[0] = wnew
+        h1s[:] = h1d
+        c1s[:] = c1n
+        h2s[:] = h2d
+        c2s[:] = c2n
+        wsp[:, ts.WOFF:ts.WOFF + T] = wnew
+        wcsp[:, ts.WOFF:ts.WOFF + T] = wcsp[:, ts.WOFF:ts.WOFF + T] + wnew
+        ctxs[:] = ctx
+
+    return kernel
+
+
+def fwd_call(core, memory, proc, res, cfg, stub, variant=None):
     dims = ts.scan_dims(cfg, memory.shape[1])
     dtype = jnp.bfloat16
     d = dims
@@ -269,6 +584,10 @@ def fwd_call(core, memory, proc, res, cfg, stub: bool):
             for o in outs:
                 o[...] = jnp.zeros(o.shape, o.dtype) + acc[0, 0].astype(
                     o.dtype)
+    elif variant:
+        kern = fwd_variant_kernel_factory(d, Bt, cfg.p_attention_dropout,
+                                          cfg.p_decoder_dropout, dtype,
+                                          variant)
     else:
         kern = ts._make_kernel(d, Bt, dropout, cfg.p_attention_dropout,
                                cfg.p_decoder_dropout, dtype)
@@ -376,11 +695,34 @@ def main():
     which = [a for a in sys.argv[1:]
              if not a.isdigit() and "=" not in a] or \
         ["bwd_real", "bwd_stub", "fwd_real", "fwd_stub"]
+    def _fwd_var(variant):
+        def call(core, memory, proc, res, cfg, _):
+            return fwd_call(core, memory, proc, res, cfg, False,
+                            variant=variant)
+        return call
+
+    def _bwd_var(variant):
+        def call(core, memory, proc, res, cfg, _):
+            return bwd_call(core, memory, proc, res, cfg, False,
+                            variant=variant)
+        return call
+
     table = {
         "bwd_real": (bwd_call, False), "bwd_stub": (bwd_call, True),
         "fwd_real": (fwd_call, False), "fwd_stub": (fwd_call, True),
         "postpass": (postpass_call, None), "masks": (masks_call, None),
         "glue": (glue_call, None),
+        # round-5 forward-section ablations (full - variant = section cost)
+        "fwd_noatt": (_fwd_var("noatt"), None),
+        "fwd_noctx": (_fwd_var("noctx"), None),
+        "fwd_nolstm1": (_fwd_var("nolstm1"), None),
+        "fwd_nolstm2": (_fwd_var("nolstm2"), None),
+        "bwd_noctx": (_bwd_var("noctxbwd"), None),
+        "bwd_noatt": (_bwd_var("noattbwd"), None),
+        "bwd_norecompute": (_bwd_var("norecompute"), None),
+        "bwd_nolstm1": (_bwd_var("nolstm1bwd"), None),
+        "bwd_nolstm2": (_bwd_var("nolstm2bwd"), None),
+        "bwd_novpugates": (_bwd_var("novpugates"), None),
     }
     for name in which:
         call, stub = table[name]
