@@ -214,7 +214,7 @@ def bwd_variant_kernel_factory(dims, B, nsteps, p_att, p_dec, dtype,
         if variant != "nolstm2bwd":
             dxd = jnp.dot(dgd_c, wtd[:], preferred_element_type=f32)
         else:
-            dxd = jnp.zeros((B, d.k2), f32) + dgd[:, :1]
+            dxd = dgd[:, 0:d.k2] * 0.5  # slice, no lane broadcast
         dctx_total = c_dctx[:] + dctx_o_r[0] + dxd[:, d.a:d.a + d.e]
 
         dctx_b = dctx_total
@@ -279,7 +279,8 @@ def bwd_variant_kernel_factory(dims, B, nsteps, p_att, p_dec, dtype,
             dah_attn = jnp.dot(dq.astype(dtype), wqt[:],
                                preferred_element_type=f32)
         else:
-            dah_attn = jnp.zeros((B, d.a), f32) + dq[:, :1]
+            # dq stays live via dq_o; cheap (B, a)-shaped stand-in
+            dah_attn = atth_r[0].astype(f32) * 0.01
 
         dah_total = (c_dah[:] + dxd[:, 0:d.a] + dah_attn) \
             * (katt_r[0].astype(f32) * s_att)
@@ -289,7 +290,7 @@ def bwd_variant_kernel_factory(dims, B, nsteps, p_att, p_dec, dtype,
         if variant != "nolstm1bwd":
             dxa = jnp.dot(dga_c, wta[:], preferred_element_type=f32)
         else:
-            dxa = jnp.zeros((B, d.k1), f32) + dga[:, :1]
+            dxa = dga[:, 0:d.k1] * 0.5  # slice, no lane broadcast
 
         dga_o[0] = dga_c
         dgd_o[0] = dgd_c
