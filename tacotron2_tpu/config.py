@@ -184,6 +184,16 @@ class Tacotron2Config:
     # kernels/train_scan.bwd_supported); other shapes take the XLA
     # custom-VJP backward.
     pallas_train_scan_bwd: bool = True
+    # With both training-scan kernels engaged: the forward kernel emits
+    # its post-tanh attention energies tensor (feat, bf16) as an extra
+    # residual stream and the backward consumes it instead of
+    # rematerializing cat@band + tanh — the remat was 11.0 ms of the
+    # 44.2 ms backward and its q = atth@wq feeder matmul dies with it
+    # (round-5 section ablation, BENCH_DETAILS round5_section_ablation).
+    # Costs one (B, T_pad*attention_dim) bf16 stream out of the forward.
+    # feat is bf16-rounded where the remat was fp32 — quality-gated like
+    # every backward-numerics change (tone-corpus gate).
+    pallas_stream_feat: bool = True
     # Force Pallas interpret lowering for the training-scan kernels.
     # None = auto (interpret off-TPU). Needed when the process default
     # backend is a TPU but the computation targets a CPU mesh (the

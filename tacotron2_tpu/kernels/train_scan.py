@@ -108,6 +108,16 @@ WOFF = 16    # window margin (>= (ks-1)//2; ks <= 33)
 # 96 (not vreg-aligned) — measured on-chip before adoption.
 CS = 96
 
+# Forward time-unroll: decoder steps per grid iteration (identical math,
+# ku-row stream blocks). MEASURED REFUTATION (round 5): 2 at
+# B=128/T_in=128 with the feat stream lost 2.7% (672.6k vs 691.0k) —
+# doubling stream-block size costs more than halving buffer rotations
+# saves, consistent with the round-4 width-neutral merged-streams
+# refutation (Mosaic pipelines many small transfers well). Machinery
+# kept (parity tested at 2, tests/test_train_scan.py) for
+# re-measurement at other shapes; shipped value stays 1.
+TIME_UNROLL = 1
+
 
 class ScanDims(NamedTuple):
     """Static layout of the training-scan kernels."""
@@ -322,7 +332,8 @@ def keep_masks(scan_rng, T_steps: int, B: int, dims: ScanDims,
 # -------------------------------------------------------------- kernel
 
 def _make_kernel(dims: ScanDims, B: int, dropout: bool,
-                 p_att: float, p_dec: float, dtype):
+                 p_att: float, p_dec: float, dtype,
+                 stream_feat: bool = False, ku: int = 1):
     d = dims
     T = d.t_pad
     W = d.w_win
@@ -339,10 +350,11 @@ def _make_kernel(dims: ScanDims, B: int, dropout: bool,
         kdec_r = next(it) if dropout else None
         (ga_r, gd_r, atth_r, dech_r, attc_r, decc_r, ctx_r, w_r) = \
             (next(it) for _ in range(8))
+        feat_r = next(it) if stream_feat else None
         (x1, x2, cat, h1s, c1s, h2s, c2s, wsp, wcsp, ctxs, efull) = \
             (next(it) for _ in range(11))
 
-        t = pl.program_id(1)  # grid = (batch_tiles, T_steps)
+        t = pl.program_id(1)  # grid = (batch_tiles, T_steps // ku)
 
         @pl.when(t == 0)
         def _():
@@ -355,73 +367,93 @@ def _make_kernel(dims: ScanDims, B: int, dropout: bool,
             ctxs[:] = jnp.zeros_like(ctxs)
             cat[:] = jnp.zeros_like(cat)  # channel-slot margins stay 0
 
-        # ---- attention LSTM:  [prenet_t ; ctx ; h1] @ [wi ; wh] ----
-        x1[:, 0:d.p] = prenet_r[0]
-        x1[:, d.p:d.p + d.e] = ctxs[:].astype(dtype)
-        x1[:, d.p + d.e:d.k1] = h1s[:].astype(dtype)
-        g1 = jnp.dot(x1[:], w1[:], preferred_element_type=f32) + b1[0]
-        c1n = (jax.nn.sigmoid(g1[:, d.a:2 * d.a]) * c1s[:]
-               + jax.nn.sigmoid(g1[:, 0:d.a])
-               * jnp.tanh(g1[:, 2 * d.a:3 * d.a]))
-        h1n = jax.nn.sigmoid(g1[:, 3 * d.a:4 * d.a]) * jnp.tanh(c1n)
-        h1d = h1n * (katt_r[0].astype(f32) * s_att) if dropout else h1n
+        # ku > 1 (round 5): each grid iteration runs ku decoder steps on
+        # ku-row stream blocks — the per-step op chain is IDENTICAL
+        # (bit-identical outputs), but per-step pipeline overhead
+        # (buffer rotations, DMA issues) halves. The round-5 ablation
+        # measured ~5.5 ms of the forward's 8.1 ms pipeline floor
+        # exposed (not hidden under compute).
+        for k in range(ku):
+            # ---- attention LSTM:  [prenet_t ; ctx ; h1] @ [wi ; wh] ----
+            x1[:, 0:d.p] = prenet_r[k]
+            x1[:, d.p:d.p + d.e] = ctxs[:].astype(dtype)
+            x1[:, d.p + d.e:d.k1] = h1s[:].astype(dtype)
+            g1 = jnp.dot(x1[:], w1[:], preferred_element_type=f32) + b1[0]
+            c1n = (jax.nn.sigmoid(g1[:, d.a:2 * d.a]) * c1s[:]
+                   + jax.nn.sigmoid(g1[:, 0:d.a])
+                   * jnp.tanh(g1[:, 2 * d.a:3 * d.a]))
+            h1n = jax.nn.sigmoid(g1[:, 3 * d.a:4 * d.a]) * jnp.tanh(c1n)
+            h1d = h1n * (katt_r[k].astype(f32) * s_att) if dropout else h1n
 
-        # ---- location-sensitive attention (t-major windowed tiles) ----
-        q = jnp.dot(h1d.astype(dtype), wq[:], preferred_element_type=f32)
-        cat[:, 2 * CS:2 * CS + d.datt] = q.astype(dtype)
-        for i in range(d.n_tiles):
-            cat[:, 0:W] = wsp[:, i * TT:i * TT + W].astype(dtype)
-            cat[:, CS:CS + W] = wcsp[:, i * TT:i * TT + W].astype(dtype)
-            m = jnp.dot(cat[:], band[:], preferred_element_type=f32)
-            feat = jnp.tanh(
-                m + proc[:, i * d.ttd:(i + 1) * d.ttd].astype(f32))
-            efull[:, i * TT:(i + 1) * TT] = jnp.dot(
-                feat.astype(dtype), selv[:], preferred_element_type=f32)
-        e = efull[:] + emask[:]
-        mx = jnp.max(e, axis=1, keepdims=True)
-        ex = jnp.exp(e - mx)
-        wnew = ex / jnp.sum(ex, axis=1, keepdims=True)
-        ctx = jnp.zeros((B, d.e), f32)
-        for tt in range(T):
-            ctx = ctx + wnew[:, tt:tt + 1] * mem[:, tt * d.e:
-                                                 (tt + 1) * d.e].astype(f32)
+            # ---- location-sensitive attention (t-major windowed tiles) --
+            q = jnp.dot(h1d.astype(dtype), wq[:],
+                        preferred_element_type=f32)
+            cat[:, 2 * CS:2 * CS + d.datt] = q.astype(dtype)
+            for i in range(d.n_tiles):
+                cat[:, 0:W] = wsp[:, i * TT:i * TT + W].astype(dtype)
+                cat[:, CS:CS + W] = wcsp[:, i * TT:i * TT + W].astype(
+                    dtype)
+                m = jnp.dot(cat[:], band[:], preferred_element_type=f32)
+                feat = jnp.tanh(
+                    m + proc[:, i * d.ttd:(i + 1) * d.ttd].astype(f32))
+                feat_c = feat.astype(dtype)
+                if stream_feat:
+                    # emit the post-tanh energies tensor so the backward
+                    # consumes it instead of rematerializing cat@band +
+                    # tanh (round-5 ablation: the remat was 11.0 ms of
+                    # the 44.2 ms backward — BENCH_DETAILS
+                    # round5_section_ablation)
+                    feat_r[k, :, i * d.ttd:(i + 1) * d.ttd] = feat_c
+                efull[:, i * TT:(i + 1) * TT] = jnp.dot(
+                    feat_c, selv[:], preferred_element_type=f32)
+            e = efull[:] + emask[:]
+            mx = jnp.max(e, axis=1, keepdims=True)
+            ex = jnp.exp(e - mx)
+            wnew = ex / jnp.sum(ex, axis=1, keepdims=True)
+            ctx = jnp.zeros((B, d.e), f32)
+            for tt in range(T):
+                ctx = ctx + wnew[:, tt:tt + 1] * mem[:, tt * d.e:
+                                                     (tt + 1) * d.e
+                                                     ].astype(f32)
 
-        # ---- decoder LSTM:  [h1 ; ctx ; h2] @ [wi ; wh] ----
-        x2[:, 0:d.a] = h1d.astype(dtype)
-        x2[:, d.a:d.a + d.e] = ctx.astype(dtype)
-        x2[:, d.a + d.e:d.k2] = h2s[:].astype(dtype)
-        g2 = jnp.dot(x2[:], w2[:], preferred_element_type=f32) + b2[0]
-        c2n = (jax.nn.sigmoid(g2[:, d.d:2 * d.d]) * c2s[:]
-               + jax.nn.sigmoid(g2[:, 0:d.d])
-               * jnp.tanh(g2[:, 2 * d.d:3 * d.d]))
-        h2n = jax.nn.sigmoid(g2[:, 3 * d.d:4 * d.d]) * jnp.tanh(c2n)
-        h2d = h2n * (kdec_r[0].astype(f32) * s_dec) if dropout else h2n
+            # ---- decoder LSTM:  [h1 ; ctx ; h2] @ [wi ; wh] ----
+            x2[:, 0:d.a] = h1d.astype(dtype)
+            x2[:, d.a:d.a + d.e] = ctx.astype(dtype)
+            x2[:, d.a + d.e:d.k2] = h2s[:].astype(dtype)
+            g2 = jnp.dot(x2[:], w2[:], preferred_element_type=f32) + b2[0]
+            c2n = (jax.nn.sigmoid(g2[:, d.d:2 * d.d]) * c2s[:]
+                   + jax.nn.sigmoid(g2[:, 0:d.d])
+                   * jnp.tanh(g2[:, 2 * d.d:3 * d.d]))
+            h2n = jax.nn.sigmoid(g2[:, 3 * d.d:4 * d.d]) * jnp.tanh(c2n)
+            h2d = h2n * (kdec_r[k].astype(f32) * s_dec) if dropout else h2n
 
-        # ---- residual stacks out; state update ----
-        ga_r[0] = g1.astype(dtype)
-        gd_r[0] = g2.astype(dtype)
-        atth_r[0] = h1d.astype(dtype)
-        dech_r[0] = h2d.astype(dtype)
-        attc_r[0] = c1n
-        decc_r[0] = c2n
-        ctx_r[0] = ctx
-        w_r[0] = wnew
-        h1s[:] = h1d
-        c1s[:] = c1n
-        h2s[:] = h2d
-        c2s[:] = c2n
-        wsp[:, WOFF:WOFF + T] = wnew
-        wcsp[:, WOFF:WOFF + T] = wcsp[:, WOFF:WOFF + T] + wnew
-        ctxs[:] = ctx
+            # ---- residual stacks out; state update ----
+            ga_r[k] = g1.astype(dtype)
+            gd_r[k] = g2.astype(dtype)
+            atth_r[k] = h1d.astype(dtype)
+            dech_r[k] = h2d.astype(dtype)
+            attc_r[k] = c1n
+            decc_r[k] = c2n
+            ctx_r[k] = ctx
+            w_r[k] = wnew
+            h1s[:] = h1d
+            c1s[:] = c1n
+            h2s[:] = h2d
+            c2s[:] = c2n
+            wsp[:, WOFF:WOFF + T] = wnew
+            wcsp[:, WOFF:WOFF + T] = wcsp[:, WOFF:WOFF + T] + wnew
+            ctxs[:] = ctx
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "dropout", "p_att",
-                                             "p_dec", "interpret"))
+                                             "p_dec", "interpret",
+                                             "stream_feat"))
 def _scan_call(w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat, emask,
                prenet_steps, katt, kdec, dims: ScanDims, dropout: bool,
-               p_att: float, p_dec: float, interpret: bool):
+               p_att: float, p_dec: float, interpret: bool,
+               stream_feat: bool = False):
     d = dims
     T_steps, B, _ = prenet_steps.shape
     if not _batch_fits(d, B):
@@ -434,7 +466,10 @@ def _scan_call(w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat, emask,
     nb = B // Bt
     dtype = jnp.bfloat16
     f32 = jnp.float32
-    kern = _make_kernel(d, Bt, dropout, p_att, p_dec, dtype)
+    ku = TIME_UNROLL if TIME_UNROLL > 1 and T_steps % TIME_UNROLL == 0 \
+        else 1
+    kern = _make_kernel(d, Bt, dropout, p_att, p_dec, dtype,
+                        stream_feat=stream_feat, ku=ku)
 
     const = lambda shape: pl.BlockSpec(
         shape, lambda b, t: tuple(0 for _ in shape),
@@ -443,7 +478,7 @@ def _scan_call(w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat, emask,
         (Bt,) + shape[1:], lambda b, t: (b,) + (0,) * (len(shape) - 1),
         memory_space=pltpu.VMEM)
     stream = lambda shape: pl.BlockSpec(
-        (1, Bt) + shape[1:], lambda b, t: (t, b, 0),
+        (ku, Bt) + shape[1:], lambda b, t: (t, b, 0),
         memory_space=pltpu.VMEM)
 
     in_specs = [const(w1.shape), const(b1.shape), const(w2.shape),
@@ -467,6 +502,9 @@ def _scan_call(w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat, emask,
         jax.ShapeDtypeStruct((T_steps, B, d.e), f32),         # ctx
         jax.ShapeDtypeStruct((T_steps, B, d.t_pad), f32),     # w
     ]
+    if stream_feat:
+        outs.append(jax.ShapeDtypeStruct(
+            (T_steps, B, d.t_pad * d.datt), dtype))           # feat
     out_specs = [stream(o.shape[1:]) for o in outs]
 
     scratch = [
@@ -481,7 +519,7 @@ def _scan_call(w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat, emask,
     ]
     return pl.pallas_call(
         kern,
-        grid=(nb, T_steps),
+        grid=(nb, T_steps // ku),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=outs,
@@ -494,7 +532,8 @@ def _scan_call(w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat, emask,
 
 def forward_residuals(core_params, prenet_steps, memory, processed, mask,
                       scan_rng, cfg: Tacotron2Config, dropout_active: bool,
-                      interpret: Optional[bool] = None, keep=None):
+                      interpret: Optional[bool] = None, keep=None,
+                      emit_feat: bool = False):
     """Run the fused forward scan; returns the 8 time-major residual
     stacks (ga, gd, att_h, dec_h, att_c, dec_c, ctx, w) with w trimmed to
     the true T_in — the same values ``decoder_vjp._forward`` produces.
@@ -530,7 +569,12 @@ def forward_residuals(core_params, prenet_steps, memory, processed, mask,
     outs = _scan_call(w1, b1, w2, b2, wq, band, selv, proc_flat, mem_flat,
                       emask, prenet_steps.astype(dtype), katt, kdec,
                       dims, dropout_active, cfg.p_attention_dropout,
-                      cfg.p_decoder_dropout, interpret)
+                      cfg.p_decoder_dropout, interpret,
+                      stream_feat=emit_feat)
+    if emit_feat:
+        ga, gd, att_h, dec_h, att_c, dec_c, ctx, w, feat = outs
+        return (ga, gd, att_h, dec_h, att_c, dec_c, ctx,
+                w[..., :t_in]), feat
     ga, gd, att_h, dec_h, att_c, dec_c, ctx, w = outs
     return ga, gd, att_h, dec_h, att_c, dec_c, ctx, w[..., :t_in]
 
@@ -553,7 +597,8 @@ def pack_bwd_weights(core_params, dims: ScanDims, dtype=jnp.bfloat16):
 
 
 def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
-                     p_att: float, p_dec: float, dtype):
+                     p_att: float, p_dec: float, dtype,
+                     stream_feat: bool = False):
     d = dims
     T = d.t_pad
     W = d.w_win
@@ -581,11 +626,23 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
 
     def kernel(*refs):
         it = iter(refs)
-        (wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc, mem,
-         attc_l, decc_l, w_l) = (next(it) for _ in range(13))
-        (ga_r, gd_r, atth_r, attc_p_r, decc_p_r,
+        (wta, wtd, wqt, bandt, rep1, vrep, mem,
+         attc_l, decc_l, w_l) = (next(it) for _ in range(10))
+        # wq, proc and band exist only to rebuild feat — with the
+        # streamed feat residual all three are dropped from the kernel
+        # (their resident blocks are what decides the VMEM fit at
+        # T_pad=192: proc 6.3M + band 5.2M)
+        wq = proc = band = None
+        if not stream_feat:
+            wq, proc, band = next(it), next(it), next(it)
+        ga_r, gd_r = next(it), next(it)
+        # with the streamed feat residual the q = atth @ wq matmul is
+        # dead, so the atth stream is replaced by the feat stream
+        atth_r = None if stream_feat else next(it)
+        feat_r = next(it) if stream_feat else None
+        (attc_p_r, decc_p_r,
          w_p_r, wcum_p_r, ddh_r, dctx_o_r, dalign_r) = \
-            (next(it) for _ in range(10))
+            (next(it) for _ in range(7))
         katt_r = next(it) if dropout else None
         kdec_r = next(it) if dropout else None
         (dga_o, dgd_o, dpre_o, dctx_o, dq_o, dband_o, dv_o, dproc_o) = \
@@ -663,18 +720,25 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
         s = jnp.sum(w_t * dw_total, axis=1, keepdims=True)
         de = w_t * (dw_total - s)                             # (B, T)
 
-        # ---- energies backward per tile (feat rematerialized) ----
-        q = jnp.dot(atth_r[0], wq[:], preferred_element_type=f32)
-        cat[:, 2 * CS:2 * CS + d.datt] = q.astype(dtype)
+        # ---- energies backward per tile ----
+        # feat either streams in from the forward kernel (round 5: the
+        # rematerialization was 11.0 ms of the 44.2 ms backward and the
+        # q matmul exists only to rebuild it) or is rematerialized.
+        if not stream_feat:
+            q = jnp.dot(atth_r[0], wq[:], preferred_element_type=f32)
+            cat[:, 2 * CS:2 * CS + d.datt] = q.astype(dtype)
         acc_w[:] = jnp.zeros_like(acc_w)
         acc_wc[:] = jnp.zeros_like(acc_wc)
         dq = jnp.zeros((B, d.datt), f32)
         for i in range(d.n_tiles):
             cat[:, 0:W] = wp_s[:, i * TT:i * TT + W].astype(dtype)
             cat[:, CS:CS + W] = wc_s[:, i * TT:i * TT + W].astype(dtype)
-            m = jnp.dot(cat[:], band[:], preferred_element_type=f32)
-            feat = jnp.tanh(
-                m + proc[:, i * d.ttd:(i + 1) * d.ttd].astype(f32))
+            if stream_feat:
+                feat = feat_r[0, :, i * d.ttd:(i + 1) * d.ttd].astype(f32)
+            else:
+                m = jnp.dot(cat[:], band[:], preferred_element_type=f32)
+                feat = jnp.tanh(
+                    m + proc[:, i * d.ttd:(i + 1) * d.ttd].astype(f32))
             de_rep = jnp.dot(de[:, i * TT:(i + 1) * TT].astype(dtype),
                              rep1[:], preferred_element_type=f32)
             dfeat = de_rep * vrep[0]
@@ -744,12 +808,14 @@ def _make_bwd_kernel(dims: ScanDims, B: int, nsteps: int, dropout: bool,
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "dropout", "p_att",
-                                             "p_dec", "interpret"))
+                                             "p_dec", "interpret",
+                                             "stream_feat"))
 def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
                    mem_flat, ga, gd, atth, attc, decc, w, wcum_p,
-                   ddh, dctx_out, dalign, katt, kdec,
-                   dims: ScanDims, dropout: bool, p_att: float,
-                   p_dec: float, interpret: bool):
+                   ddh, dctx_out, dalign, katt, kdec, feat=None,
+                   dims: ScanDims = None, dropout: bool = False,
+                   p_att: float = 0.0, p_dec: float = 0.0,
+                   interpret: bool = False, stream_feat: bool = False):
     d = dims
     T_steps, B, _ = ga.shape
     Bt = B if B <= 128 else 128   # batch tile rows (uniform tiles)
@@ -768,7 +834,8 @@ def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
             f"trace-time batch tile {Bt} x t_pad {d.t_pad} exceeds "
             f"{_FP32_DPROC_CAP}; use the XLA custom-VJP backward for "
             f"this shape (decoder_vjp gates on bwd_supported)")
-    kern = _make_bwd_kernel(d, Bt, T_steps, dropout, p_att, p_dec, dtype)
+    kern = _make_bwd_kernel(d, Bt, T_steps, dropout, p_att, p_dec, dtype,
+                            stream_feat=stream_feat)
 
     const = lambda shape: pl.BlockSpec(
         shape, lambda b, t: tuple(0 for _ in shape),
@@ -793,19 +860,33 @@ def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
     # scratches; attc/decc/w then stream ONCE per step (the t-1 prev
     # fetch) instead of twice — round 4, exactness-preserving
     attc_last, decc_last, w_last = attc[-1], decc[-1], w[-1]
+    if stream_feat:
+        # feat (from the forward kernel) replaces the atth stream: the
+        # only consumer of atth in-kernel was the q = atth @ wq matmul
+        # that rebuilt feat; wq and proc (feat's other ingredients) are
+        # dropped entirely — proc's resident block is what decides the
+        # VMEM fit at T_pad=192 (round 5)
+        maybe_wq_proc = [], []
+        third = [rev((B, d.t_pad * d.datt))], [feat.astype(dtype)]
+    else:
+        maybe_wq_proc = ([const(wq.shape), bconst(proc_flat.shape),
+                          const(band.shape)],
+                         [wq, proc_flat, band])
+        third = [rev((B, d.a))], [atth]
     in_specs = [const(x.shape) for x in
-                (wta, wtd, wq, wqt, band, bandt, rep1, vrep)]
-    in_specs += [bconst(proc_flat.shape), bconst(mem_flat.shape),
-                 bconst(attc_last.shape), bconst(decc_last.shape),
-                 bconst(w_last.shape)]
-    in_specs += [rev((B, 4 * d.a)), rev((B, 4 * d.d)), rev((B, d.a)),
-                 rev_prev((B, d.a)), rev_prev((B, d.d)),
+                (wta, wtd, wqt, bandt, rep1, vrep)]
+    in_specs += [bconst(mem_flat.shape), bconst(attc_last.shape),
+                 bconst(decc_last.shape), bconst(w_last.shape)]
+    in_specs += maybe_wq_proc[0]
+    in_specs += [rev((B, 4 * d.a)), rev((B, 4 * d.d))] + third[0] + \
+                [rev_prev((B, d.a)), rev_prev((B, d.d)),
                  rev_prev((B, d.t_pad)), rev((B, d.t_pad)),
                  rev((B, d.d)), rev((B, d.e)), rev((B, d.t_pad))]
-    inputs = [wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
-              mem_flat, attc_last, decc_last, w_last,
-              ga, gd, atth, attc, decc, w,
-              wcum_p, ddh, dctx_out, dalign]
+    inputs = [wta, wtd, wqt, bandt, rep1, vrep,
+              mem_flat, attc_last, decc_last, w_last] \
+        + maybe_wq_proc[1] \
+        + [ga, gd] + third[1] + [attc, decc, w,
+                                 wcum_p, ddh, dctx_out, dalign]
     if dropout:
         in_specs += [rev((B, d.a)), rev((B, d.d))]
         inputs += [katt, kdec]
@@ -854,7 +935,8 @@ def _bwd_scan_call(wta, wtd, wq, wqt, band, bandt, rep1, vrep, proc_flat,
 def backward_chain(core_params, res, memory, processed, mask, scan_rng,
                    d_dec_h_out, d_ctx_out, d_align_out,
                    cfg: Tacotron2Config, dropout_active: bool,
-                   interpret: Optional[bool] = None, keep=None):
+                   interpret: Optional[bool] = None, keep=None,
+                   feat=None):
     """Run the fused backward chain. ``res`` is the _Residuals tuple of
     time-major stacks from the forward. Cotangents are (T, B, ...)
     time-major. Returns (dga_stack, dgd_stack, d_prenet, dctx_stack,
@@ -897,8 +979,9 @@ def backward_chain(core_params, res, memory, processed, mask, scan_rng,
         ga.astype(dtype), gd.astype(dtype), att_h.astype(dtype),
         att_c.astype(f32), dec_c.astype(f32), w_pad, wcum_prev,
         d_dec_h_out.astype(f32), d_ctx_out.astype(f32), dalign,
-        katt, kdec, dims, dropout_active, cfg.p_attention_dropout,
-        cfg.p_decoder_dropout, interpret)
+        katt, kdec, feat=feat, dims=dims, dropout=dropout_active,
+        p_att=cfg.p_attention_dropout, p_dec=cfg.p_decoder_dropout,
+        interpret=interpret, stream_feat=feat is not None)
     (dga_st, dgd_st, dpre_st, dctx_st, dq_st, dband_acc, dv_acc,
      dproc_acc) = outs
 

@@ -203,20 +203,29 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
 
     # ------------------------------------------------------------ forward
     def _forward(dp, prenet_steps, memory, processed, mask, scan_rng,
-                 keep=None):
+                 keep=None, emit_feat=False):
+        """Returns (res_chunks, feat): feat is the forward kernel's
+        streamed post-tanh energies stack when emit_feat (consumed by
+        the backward kernel instead of rematerializing), else None."""
         if cfg.pallas_train_scan:
             from tacotron2_tpu.kernels import train_scan
             if n_il == 1 and train_scan.supported(
                     cfg, memory.shape[1], prenet_steps.shape[1]):
+                if emit_feat:
+                    outs, feat = train_scan.forward_residuals(
+                        dp, prenet_steps, memory, processed, mask,
+                        scan_rng, cfg, dropout_active, keep=keep,
+                        emit_feat=True)
+                    return (_Residuals(*outs),), feat
                 outs = train_scan.forward_residuals(
                     dp, prenet_steps, memory, processed, mask, scan_rng,
                     cfg, dropout_active, keep=keep)
-                return (_Residuals(*outs),)
+                return (_Residuals(*outs),), None
             # warn on ANY fallback, including decoder_interleave > 1
             # (supported() also rejects it, so it reports the reason)
             _warn_fallback(cfg, memory.shape[1], prenet_steps.shape[1])
         return _forward_xla(dp, prenet_steps, memory, processed, mask,
-                            scan_rng)
+                            scan_rng), None
 
     def _forward_xla(dp, prenet_steps, memory, processed, mask, scan_rng):
         T, B, _ = prenet_steps.shape
@@ -276,46 +285,57 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
 
     @jax.custom_vjp
     def scan_fn(dp, prenet_steps, memory, processed, mask, scan_rng):
-        res_chunks = _forward(dp, prenet_steps, memory, processed, mask,
-                              scan_rng)
+        res_chunks, _ = _forward(dp, prenet_steps, memory, processed,
+                                 mask, scan_rng)
         return (_cat([r.dec_h for r in res_chunks]),
                 _cat([r.ctx for r in res_chunks]),
                 _cat([r.w for r in res_chunks]))
+
+    def _bwd_kernel_engages(prenet_steps, memory):
+        """Whether the BACKWARD kernel will run for this shape (round 5:
+        the fwd->bwd extras — shared keep masks, streamed feat — only
+        pay off when the backward kernel consumes them)."""
+        if not cfg.pallas_train_scan or not cfg.pallas_train_scan_bwd \
+                or n_il != 1:
+            return False
+        from tacotron2_tpu.kernels import train_scan
+        return train_scan.bwd_supported(
+            cfg, memory.shape[1], prenet_steps.shape[1])
 
     def _kernel_keep_masks(prenet_steps, memory, scan_rng):
         """Generate the kernel paths' dropout keep masks ONCE (round 5):
         the forward streams them in and the backward needs the identical
         stacks — threading them through the residuals saves the backward
-        re-derivation (~2.3 ms per step at B=128, T_steps=512) at zero
-        extra HBM traffic (the stacks are kernel operands either way)."""
-        if not dropout_active or not cfg.pallas_train_scan or n_il != 1:
+        re-derivation at zero extra HBM traffic (the stacks are kernel
+        operands either way)."""
+        if not dropout_active:
             return None
         from tacotron2_tpu.kernels import train_scan
         T_steps, B = prenet_steps.shape[0], prenet_steps.shape[1]
-        T_in = memory.shape[1]
-        if not (train_scan.supported(cfg, T_in, B)
-                and cfg.pallas_train_scan_bwd
-                and train_scan.bwd_supported(cfg, T_in, B)):
-            return None
         return train_scan.keep_masks(
-            scan_rng, T_steps, B, train_scan.scan_dims(cfg, T_in),
+            scan_rng, T_steps, B,
+            train_scan.scan_dims(cfg, memory.shape[1]),
             cfg.p_attention_dropout, cfg.p_decoder_dropout)
 
     def fwd(dp, prenet_steps, memory, processed, mask, scan_rng):
-        keep = _kernel_keep_masks(prenet_steps, memory, scan_rng)
-        res_chunks = _forward(dp, prenet_steps, memory, processed, mask,
-                              scan_rng, keep=keep)
+        bwd_kernel = _bwd_kernel_engages(prenet_steps, memory)
+        keep = _kernel_keep_masks(prenet_steps, memory, scan_rng) \
+            if bwd_kernel else None
+        emit_feat = bwd_kernel and cfg.pallas_stream_feat
+        res_chunks, feat = _forward(dp, prenet_steps, memory, processed,
+                                    mask, scan_rng, keep=keep,
+                                    emit_feat=emit_feat)
         out = (_cat([r.dec_h for r in res_chunks]),
                _cat([r.ctx for r in res_chunks]),
                _cat([r.w for r in res_chunks]))
         saved = (dp, prenet_steps, memory, processed, mask, scan_rng,
-                 res_chunks, keep)
+                 res_chunks, keep, feat)
         return out, saved
 
     # ----------------------------------------------------------- backward
     def bwd(saved, cotangents):
         (dp, prenet_steps, memory, processed, mask, scan_rng,
-         res_chunks, keep) = saved
+         res_chunks, keep, feat) = saved
         d_dec_h_out, d_ctx_out, d_align_out = cotangents
         T, B, P = prenet_steps.shape
         T_in = memory.shape[1]
@@ -482,7 +502,7 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
              d_attp_k) = train_scan.backward_chain(
                 dp, res_chunks[0], memory, processed, mask, scan_rng,
                 d_dec_h_out, d_ctx_out, d_align_out, cfg, dropout_active,
-                keep=keep)
+                keep=keep, feat=feat)
             carries = ((None,) * 7 + (d_proc_k, d_attp_k),)
             emits = ((dga_st, dgd_st, dpre_st, dctx_st),)
         else:

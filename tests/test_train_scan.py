@@ -410,3 +410,60 @@ def test_sharded_step_with_kernel_8dev():
     batch = _make_batch(cfg, B=64, T_in=16, T_out=8)
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics.loss))
+
+
+def test_forward_parity_even_steps_ku2(monkeypatch):
+    """ku=2 time-unrolled forward grid (two decoder steps per grid
+    iteration, round 5; shipped TIME_UNROLL=1 after the on-chip
+    refutation — the machinery stays parity-tested here) must match the
+    XLA scan exactly like the ku=1 path."""
+    from tacotron2_tpu.kernels import train_scan
+    monkeypatch.setattr(train_scan, "TIME_UNROLL", 2)
+    cfg_ref = small_cfg(pallas_train_scan=False)
+    cfg_k = small_cfg(pallas_train_scan=True)
+    core, _, memory, proc, mask = make_inputs(cfg_k)
+    r = np.random.RandomState(7)
+    prenet6 = jnp.asarray(r.randn(6, B, cfg_k.prenet_dim),
+                          jnp.float32) * .3
+    rng = jax.random.PRNGKey(3)
+    ref = decoder_vjp.core_scan(core, prenet6, memory, proc, mask, rng,
+                                cfg_ref, True)
+    got = decoder_vjp.core_scan(core, prenet6, memory, proc, mask, rng,
+                                cfg_k, True)
+    for rr, g, name in zip(ref, got, ("dec_h", "ctx", "align")):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(rr, np.float32),
+                                   atol=5e-2, rtol=0.1, err_msg=name)
+
+
+def test_grad_parity_even_steps_ku2_feat_stream(monkeypatch):
+    """Gradient parity through the ku=2 forward + feat-streaming
+    backward (T_steps even): kernel-path grads track the XLA-path grads."""
+    from tacotron2_tpu.kernels import train_scan
+    monkeypatch.setattr(train_scan, "TIME_UNROLL", 2)
+    cfg_ref = small_cfg(pallas_train_scan=False)
+    cfg_k = small_cfg(pallas_train_scan=True, pallas_train_scan_bwd=True,
+                      pallas_stream_feat=True)
+    core, _, memory, proc, mask = make_inputs(cfg_k)
+    r = np.random.RandomState(8)
+    prenet6 = jnp.asarray(r.randn(6, B, cfg_k.prenet_dim),
+                          jnp.float32) * .3
+    rng = jax.random.PRNGKey(5)
+
+    def loss(cfg):
+        def f(c, p, m, pr):
+            dh, cx, al = decoder_vjp.core_scan(c, p, m, pr, mask, rng,
+                                               cfg, True)
+            return (jnp.sum(dh.astype(jnp.float32) ** 2)
+                    + jnp.sum(cx.astype(jnp.float32) * 0.5)
+                    + jnp.sum(al ** 2))
+        return jax.grad(f, argnums=(0, 1))(core, prenet6, memory, proc)
+
+    g_ref = loss(cfg_ref)
+    g_got = loss(cfg_k)
+    flat_r, _ = jax.tree.flatten(g_ref)
+    flat_g, _ = jax.tree.flatten(g_got)
+    for a, b in zip(flat_r, flat_g):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(1e-3, np.abs(a).max())
+        assert np.abs(a - b).max() / scale < 0.08
