@@ -144,6 +144,11 @@ def encode(params: Params, stats: Params, text: jnp.ndarray,
         x, s = batchnorm(layer["bn"], stats["encoder"]["convs"][i], x,
                          training=training)
         new_conv_stats.append(s)
+        if compute_dtype is not None:
+            # keep the post-BN elementwise chain (relu/dropout) in the
+            # compute dtype: at f32 it is memory-bound over the full
+            # activation tensor (round 5; same finding as the postnet)
+            x = x.astype(compute_dtype)
         x = jax.nn.relu(x)
         key = jax.random.fold_in(rng, i) if rng is not None else None
         x = dropout(key, x, 0.5, deterministic=not training)
@@ -711,6 +716,11 @@ def postnet_apply(params: Params, stats: Params, mels: jnp.ndarray,
         x, s = batchnorm(layer["bn"], stats["postnet"]["convs"][i], x,
                          training=training)
         new_stats.append(s)
+        if compute_dtype is not None:
+            # post-BN tanh/dropout in the compute dtype: the f32 chain
+            # was memory-bound (dropout alone +4.8 ms of the 18.2 ms
+            # postnet fwd+bwd at B=128/T=512 — round-5 decomposition)
+            x = x.astype(compute_dtype)
         if i < len(layers) - 1:
             x = jnp.tanh(x)
         key = jax.random.fold_in(rng, i) if rng is not None else None

@@ -120,8 +120,20 @@ def lstm_cell(params: Params, x: jnp.ndarray, state: State,
 
 
 def lstm_scan(params: Params, xs: jnp.ndarray, state: State | None = None,
-              compute_dtype=None) -> Tuple[jnp.ndarray, State]:
-    """Unidirectional LSTM over time. xs: (B, T, in) -> (B, T, H)."""
+              compute_dtype=None, unroll: int = 8
+              ) -> Tuple[jnp.ndarray, State]:
+    """Unidirectional LSTM over time. xs: (B, T, in) -> (B, T, H).
+
+    ``unroll=8`` (round 5, measured): the per-step matmul is small
+    (~0.2 GFLOP at B=128), so lax.scan dispatch overhead dominates —
+    unrolling cut the encoder fwd+bwd from 13.0 to 10.9 ms on chip.
+    MEASURED REFUTATION (round 5): hoisting the input projection out of
+    the scan (the cuDNN trick) LOST throughput here — 715.9k (f32
+    stack) / 721.3k (bf16 stack) vs 729.5k with the fused per-step
+    cell: the materialized (B, T, 4H) projection stack costs more HBM
+    traffic than the in-scan matmul costs compute, and XLA overlaps the
+    fused matmuls fine at unroll=8. Keep the fused cell.
+    """
     B = xs.shape[0]
     H = params["wh"].shape[0]
     if state is None:
@@ -131,7 +143,8 @@ def lstm_scan(params: Params, xs: jnp.ndarray, state: State | None = None,
         new_state = lstm_cell(params, x_t, carry, compute_dtype)
         return new_state, new_state[0]
 
-    final, hs = jax.lax.scan(step, state, xs.swapaxes(0, 1))
+    final, hs = jax.lax.scan(step, state, xs.swapaxes(0, 1),
+                             unroll=unroll)
     return hs.swapaxes(0, 1), final
 
 
