@@ -194,6 +194,12 @@ class Tacotron2Config:
     # feat is bf16-rounded where the remat was fp32 — quality-gated like
     # every backward-numerics change (tone-corpus gate).
     pallas_stream_feat: bool = True
+    # Weights-resident fused BiLSTM encoder scans (fwd + reverse-grid
+    # backward, kernels/encoder_lstm.py): the lax.scan encoder is
+    # dispatch-overhead-bound (~8% MFU, ~8 ms fwd+bwd at B=128 —
+    # round-5 decomposition). Envelope: bf16, dims %128, batch %8 and
+    # <= 128; other shapes (incl. B=1 inference) take the XLA scan.
+    pallas_encoder_lstm: bool = True
     # Force Pallas interpret lowering for the training-scan kernels.
     # None = auto (interpret off-TPU). Needed when the process default
     # backend is a TPU but the computation targets a CPU mesh (the

@@ -153,7 +153,7 @@ def encode(params: Params, stats: Params, text: jnp.ndarray,
         key = jax.random.fold_in(rng, i) if rng is not None else None
         x = dropout(key, x, 0.5, deterministic=not training)
     memory = bilstm(params["encoder"]["lstm_fwd"], params["encoder"]["lstm_bwd"],
-                    x, text_lengths, compute_dtype=compute_dtype)
+                    x, text_lengths, compute_dtype=compute_dtype, cfg=cfg)
     new_stats = {"encoder": {"convs": new_conv_stats}}
     return memory, new_stats
 

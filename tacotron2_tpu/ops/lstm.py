@@ -158,20 +158,39 @@ def _reverse_by_length(xs: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
 
 
 def bilstm(fwd_params: Params, bwd_params: Params, xs: jnp.ndarray,
-           lengths: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+           lengths: jnp.ndarray, compute_dtype=None,
+           cfg=None) -> jnp.ndarray:
     """Bidirectional LSTM with per-row lengths. (B, T, in) -> (B, T, 2H).
 
     Matches torch's packed BiLSTM (reference model.py:181-188): the backward
     direction starts from each row's true last frame, and all outputs at
     t >= length are zero.
+
+    With a ``cfg`` whose ``pallas_encoder_lstm`` is on and the shape in
+    the kernel envelope, both directions run through the weights-resident
+    fused scans (kernels/encoder_lstm.py — round 5: the lax.scan path is
+    dispatch-overhead-bound at ~8% MFU); identical length semantics,
+    values to bf16 round-off.
     """
     mask = length_mask(lengths, xs.shape[1])[:, :, None]
-
-    fwd_out, _ = lstm_scan(fwd_params, xs, compute_dtype=compute_dtype)
-
     xs_rev = _reverse_by_length(xs, lengths)
-    bwd_scan, _ = lstm_scan(bwd_params, xs_rev, compute_dtype=compute_dtype)
-    bwd_out = _reverse_by_length(bwd_scan, lengths)
 
+    use_kernel = False
+    if cfg is not None and getattr(cfg, "pallas_encoder_lstm", False) \
+            and compute_dtype == jnp.bfloat16 \
+            and "w_q" not in fwd_params:
+        from tacotron2_tpu.kernels import encoder_lstm
+        use_kernel = encoder_lstm.supported(cfg, xs.shape[0]) \
+            and fwd_params["wi"].shape[0] == xs.shape[2]
+    if use_kernel:
+        from tacotron2_tpu.kernels import encoder_lstm
+        fwd_out, bwd_scan = encoder_lstm.bilstm_scans(
+            fwd_params, bwd_params, xs, xs_rev, cfg)
+    else:
+        fwd_out, _ = lstm_scan(fwd_params, xs, compute_dtype=compute_dtype)
+        bwd_scan, _ = lstm_scan(bwd_params, xs_rev,
+                                compute_dtype=compute_dtype)
+
+    bwd_out = _reverse_by_length(bwd_scan, lengths)
     out = jnp.concatenate([fwd_out, bwd_out], axis=-1)
     return jnp.where(mask, out, jnp.zeros_like(out))
