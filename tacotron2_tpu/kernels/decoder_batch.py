@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: BATCHED fused autoregressive decoder chunk (B <= 8).
+"""Pallas TPU kernel: BATCHED fused autoregressive decoder chunk (B <= 32).
 
 The round-1/2 fused serving kernel (kernels/decoder_step.py) is B=1 by
 construction: its attention state lives sublane-major as two lanes of a
@@ -23,7 +23,8 @@ Per-row gate latching, reduction-factor frame groups, and the streamed
 prenet-dropout keep masks follow decoder_step.py semantics (reference
 model.py:340-379 and the model.py:99 inference-dropout quirk).
 
-Envelope: batch <= 8; (prenet_dim, encoder_embedding_dim,
+Envelope: batch <= 32 (rows padded to sublane tiles of 8 — round 5
+extended the round-4 B<=8 single-tile form); (prenet_dim, encoder_embedding_dim,
 attention_rnn_dim, decoder_rnn_dim, attention_dim) multiples of 128;
 n_mel_channels * n_frames_per_step < 128; T_in <= 512.
 """
@@ -68,7 +69,7 @@ def batch_supported(cfg: Tacotron2Config, t_in: int, batch: int) -> bool:
     dims = train_scan.scan_dims(cfg, t_in)
     aligned = all(x % 128 == 0 for x in
                   (dims.p, dims.e, dims.a, dims.d, dims.datt))
-    return (aligned and n < 128 and batch <= 8 and dims.t_pad <= 512
+    return (aligned and n < 128 and batch <= 32 and dims.t_pad <= 512
             and dims.ks % 2 == 1 and dims.ks <= 2 * WOFF + 1)
 
 
@@ -103,7 +104,8 @@ def pack_batch_decoder_params(params, cfg: Tacotron2Config,
         wpe=jnp.asarray(wpe, dtype), bpe=jnp.asarray(bpe))
 
 
-def _make_kernel(dims, n: int, gate_logit: float, dropout: bool, dtype):
+def _make_kernel(dims, n: int, gate_logit: float, dropout: bool, dtype,
+                 rows: int = 8):
     d = dims
     T = d.t_pad
     W = d.w_win
@@ -139,7 +141,7 @@ def _make_kernel(dims, n: int, gate_logit: float, dropout: bool, dtype):
             wcsp[:, WOFF:WOFF + T] = wci[:]
             cat[:] = jnp.zeros_like(cat)
 
-        fin_col = (flagso[:, 0:1] > 0).astype(f32)        # (8, 1)
+        fin_col = (flagso[:, 0:1] > 0).astype(f32)        # (rows, 1)
         t0 = flagso[0, 2]
 
         # ---- prenet (2x dense+relu; optional streamed dropout masks,
@@ -178,7 +180,7 @@ def _make_kernel(dims, n: int, gate_logit: float, dropout: bool, dtype):
         e_m = efull[:] + emask[:]
         mx = jnp.max(e_m, axis=1, keepdims=True)
         ex = jnp.exp(e_m - mx)
-        wnew = ex / jnp.sum(ex, axis=1, keepdims=True)     # (8, T)
+        wnew = ex / jnp.sum(ex, axis=1, keepdims=True)     # (rows, T)
         # Context via a fully unrolled lane-slice multiply-accumulate.
         # Deliberate tradeoff (ADVICE r3): at T=512 this emits ~2*T
         # small VPU ops into the Mosaic program — larger compile time /
@@ -190,7 +192,7 @@ def _make_kernel(dims, n: int, gate_logit: float, dropout: bool, dtype):
         # T=128, PERFORMANCE.md round 3), and per-row matvecs cannot
         # ride the MXU without a lane->sublane relayout of memory. The
         # batch_supported T_in <= 512 cap bounds the unroll.
-        ctx = jnp.zeros((8, d.e), f32)
+        ctx = jnp.zeros((rows, d.e), f32)
         for tt in range(T):
             ctx = ctx + wnew[:, tt:tt + 1] * mem[:, tt * d.e:
                                                  (tt + 1) * d.e].astype(f32)
@@ -210,19 +212,19 @@ def _make_kernel(dims, n: int, gate_logit: float, dropout: bool, dtype):
         x3[:, d.d:d.d + d.e] = ctx.astype(dtype)
         out = jnp.dot(x3[:], wpe[:], preferred_element_type=f32) + bpe[0]
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
         live = jnp.where(lane <= n, out, 0.0)
         dead = jnp.where(lane == n, GATE_MASK, 0.0)
         frames_o[0] = jnp.where(fin_col > 0, dead, live)
         align_o[0] = jnp.where(fin_col > 0, 0.0, wnew)
 
-        gate = out[:, n:n + 1]                             # (8, 1)
+        gate = out[:, n:n + 1]                             # (rows, 1)
         lens = flagso[:, 1:2]
         new_len = jnp.where(fin_col > 0, lens,
                             jnp.zeros_like(lens) + t0 + t + 1)
         new_fin = jnp.where(
             jnp.logical_or(fin_col > 0, gate > gate_logit), 1, 0)
-        lane_f = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        lane_f = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
         flagso[:] = jnp.where(
             lane_f == 0, new_fin,
             jnp.where(lane_f == 1, new_len,
@@ -245,14 +247,15 @@ def _make_kernel(dims, n: int, gate_logit: float, dropout: bool, dtype):
 
 @functools.partial(jax.jit, static_argnames=("dims", "n", "chunk_steps",
                                              "gate_logit", "interpret",
-                                             "dtype", "dropout"))
+                                             "dtype", "dropout", "rows"))
 def _batch_chunk_call(fp: BatchDecoderParams, proc_flat, mem_flat, emask,
                       h1, c1, h2, c2, w0, wc0, ctx, prev, flags, kp1, kp2,
                       dims, n: int, chunk_steps: int, gate_logit: float,
-                      interpret: bool, dtype, dropout: bool):
+                      interpret: bool, dtype, dropout: bool,
+                      rows: int = 8):
     d = dims
     f32 = jnp.float32
-    kern = _make_kernel(d, n, gate_logit, dropout, dtype)
+    kern = _make_kernel(d, n, gate_logit, dropout, dtype, rows=rows)
 
     const = lambda shape: pl.BlockSpec(
         shape, lambda t: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
@@ -265,7 +268,7 @@ def _batch_chunk_call(fp: BatchDecoderParams, proc_flat, mem_flat, emask,
               fp.band, fp.selv, fp.wpe, fp.bpe, proc_flat, mem_flat,
               emask]
     if dropout:
-        mask_spec = pl.BlockSpec((1, 8, d.p), lambda t: (t, 0, 0),
+        mask_spec = pl.BlockSpec((1, rows, d.p), lambda t: (t, 0, 0),
                                  memory_space=pltpu.VMEM)
         in_specs += [mask_spec, mask_spec]
         inputs += [kp1, kp2]
@@ -274,32 +277,32 @@ def _batch_chunk_call(fp: BatchDecoderParams, proc_flat, mem_flat, emask,
     inputs += [h1, c1, h2, c2, w0, wc0, ctx, prev, flags]
 
     outs = [
-        jax.ShapeDtypeStruct((chunk_steps, 8, 128), f32),     # frames
-        jax.ShapeDtypeStruct((chunk_steps, 8, d.t_pad), f32),  # align
-        jax.ShapeDtypeStruct((8, d.a), f32),     # h1
-        jax.ShapeDtypeStruct((8, d.a), f32),     # c1
-        jax.ShapeDtypeStruct((8, d.d), f32),     # h2
-        jax.ShapeDtypeStruct((8, d.d), f32),     # c2
-        jax.ShapeDtypeStruct((8, d.t_pad), f32),  # w
-        jax.ShapeDtypeStruct((8, d.t_pad), f32),  # w_cum
-        jax.ShapeDtypeStruct((8, d.e), f32),     # ctx
-        jax.ShapeDtypeStruct((8, 128), f32),     # prev
-        jax.ShapeDtypeStruct((8, 128), jnp.int32),  # flags
+        jax.ShapeDtypeStruct((chunk_steps, rows, 128), f32),    # frames
+        jax.ShapeDtypeStruct((chunk_steps, rows, d.t_pad), f32),  # align
+        jax.ShapeDtypeStruct((rows, d.a), f32),     # h1
+        jax.ShapeDtypeStruct((rows, d.a), f32),     # c1
+        jax.ShapeDtypeStruct((rows, d.d), f32),     # h2
+        jax.ShapeDtypeStruct((rows, d.d), f32),     # c2
+        jax.ShapeDtypeStruct((rows, d.t_pad), f32),  # w
+        jax.ShapeDtypeStruct((rows, d.t_pad), f32),  # w_cum
+        jax.ShapeDtypeStruct((rows, d.e), f32),     # ctx
+        jax.ShapeDtypeStruct((rows, 128), f32),     # prev
+        jax.ShapeDtypeStruct((rows, 128), jnp.int32),  # flags
     ]
     out_specs = [
-        pl.BlockSpec((1, 8, 128), lambda t: (t, 0, 0),
+        pl.BlockSpec((1, rows, 128), lambda t: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 8, d.t_pad), lambda t: (t, 0, 0),
+        pl.BlockSpec((1, rows, d.t_pad), lambda t: (t, 0, 0),
                      memory_space=pltpu.VMEM),
     ] + [const(o.shape) for o in outs[2:]]
 
     scratch = [
-        pltpu.VMEM((8, d.k1), dtype), pltpu.VMEM((8, d.k2), dtype),
-        pltpu.VMEM((8, d.d + d.e), dtype),
-        pltpu.VMEM((8, d.cat_w), dtype),
-        pltpu.VMEM((8, d.t_pad + 2 * WOFF), f32),
-        pltpu.VMEM((8, d.t_pad + 2 * WOFF), f32),
-        pltpu.VMEM((8, d.t_pad), f32),
+        pltpu.VMEM((rows, d.k1), dtype), pltpu.VMEM((rows, d.k2), dtype),
+        pltpu.VMEM((rows, d.d + d.e), dtype),
+        pltpu.VMEM((rows, d.cat_w), dtype),
+        pltpu.VMEM((rows, d.t_pad + 2 * WOFF), f32),
+        pltpu.VMEM((rows, d.t_pad + 2 * WOFF), f32),
+        pltpu.VMEM((rows, d.t_pad), f32),
     ]
     return pl.pallas_call(
         kern,
@@ -329,13 +332,14 @@ def decode_chunk_batch(fp: BatchDecoderParams, carry, memory: jnp.ndarray,
     from tacotron2_tpu.models.tacotron2 import StreamCarry, DecoderState
 
     B, t_in, e = memory.shape
-    assert B <= 8, "batched fused decoder covers B <= 8 (one sublane tile)"
+    assert B <= 32, "batched fused decoder covers B <= 32 (sublane tiles)"
     d = train_scan.scan_dims(cfg, t_in)
     n = cfg.n_mel_channels * cfg.n_frames_per_step
     r = cfg.n_frames_per_step
     f32 = jnp.float32
 
-    pad_b = 8 - B
+    rows = -(-B // 8) * 8            # 8/16/24/32 sublane-tile rows
+    pad_b = rows - B
     padB = lambda x: jnp.pad(x.astype(f32), ((0, pad_b),) +
                              ((0, 0),) * (x.ndim - 1))
     mem8 = jnp.pad(memory, ((0, pad_b), (0, 0), (0, 0)))
@@ -356,7 +360,7 @@ def decode_chunk_batch(fp: BatchDecoderParams, carry, memory: jnp.ndarray,
     ctx = padB(s.att_context)
     prev = jnp.pad(carry.prev_mel.astype(f32),
                    ((0, pad_b), (0, 128 - n)))
-    flags = jnp.zeros((8, 128), jnp.int32)
+    flags = jnp.zeros((rows, 128), jnp.int32)
     fin0 = jnp.pad(carry.finished.astype(jnp.int32),
                    (0, pad_b), constant_values=1)  # pad rows: finished
     len0 = jnp.pad(carry.lengths, (0, pad_b))
@@ -366,7 +370,8 @@ def decode_chunk_batch(fp: BatchDecoderParams, carry, memory: jnp.ndarray,
 
     if rng is not None:
         from tacotron2_tpu.kernels.decoder_step import _prenet_keep_masks
-        kp1, kp2 = _prenet_keep_masks(rng, carry.t, chunk_steps, d.p, B)
+        kp1, kp2 = _prenet_keep_masks(rng, carry.t, chunk_steps, d.p, B,
+                                      rows=rows)
     else:
         kp1 = kp2 = jnp.zeros((1,), f32)
 
@@ -375,7 +380,7 @@ def decode_chunk_batch(fp: BatchDecoderParams, carry, memory: jnp.ndarray,
         fp, proc_flat, mem_flat, emask, h1, c1, h2, c2, w0, wc0, ctx,
         prev, flags, kp1, kp2, dims=d, n=n, chunk_steps=chunk_steps,
         gate_logit=gate_logit_threshold(cfg), interpret=interpret, dtype=dtype,
-        dropout=rng is not None)
+        dropout=rng is not None, rows=rows)
 
     mel = (frames[:, :B, :n].transpose(1, 0, 2)
            .reshape(B, chunk_steps * r, cfg.n_mel_channels))

@@ -407,8 +407,9 @@ def _fused_chunk_call(fp: FusedDecoderParams, memory, processed, maskc,
     )(*inputs)
 
 
-def _prenet_keep_masks(rng, t0, chunk_steps: int, p: int, b: int = 1):
-    """(chunk, 8, p) fp32 0/1 keep masks for both prenet layers, drawn
+def _prenet_keep_masks(rng, t0, chunk_steps: int, p: int, b: int = 1,
+                       rows: int = 8):
+    """(chunk, rows, p) fp32 0/1 keep masks for both prenet layers, drawn
     with EXACTLY the XLA path's key derivation (decode_chunk:
     key = fold_in(rng, t); prenet_apply: fold_in(key, layer)) at the
     XLA batch width ``b`` — bernoulli is drawn at shape (b, p), exactly
@@ -423,7 +424,7 @@ def _prenet_keep_masks(rng, t0, chunk_steps: int, p: int, b: int = 1):
         return k1, k2
     k1, k2 = jax.vmap(one)(t0 + jnp.arange(chunk_steps))
     pad = lambda k: jnp.pad(k.astype(jnp.float32),
-                            ((0, 0), (0, 8 - b), (0, 0)))
+                            ((0, 0), (0, rows - b), (0, 0)))
     return pad(k1), pad(k2)
 
 

@@ -569,9 +569,11 @@ def infer_batch_fused(params: Params, stats: Params, text: jnp.ndarray,
                       chunk_steps: int = 64, compute_dtype=None,
                       rng: Optional[jax.Array] = None) -> "InferenceResult":
     """``infer`` through the BATCHED fused Pallas decoder
-    (kernels/decoder_batch.py) — up to 8 rows decode together with every
-    decoder weight VMEM-resident; measured 2.1x the XLA batched decode
-    at B=8 (PERFORMANCE.md round 3). Same contract as ``infer``;
+    (kernels/decoder_batch.py) — up to 32 rows (round 5; sublane tiles
+    of 8) decode together with every decoder weight VMEM-resident;
+    measured 2.1x the XLA batched decode at B=8 (PERFORMANCE.md round
+    3; B=16/32 rows in BENCH_DETAILS round5_batch_serving). Same
+    contract as ``infer``;
     ``packed`` is the reusable ``pack_batch_decoder_params`` result.
     ``rng`` + prenet_dropout_at_inference reproduce the reference's
     inference-time prenet dropout (model.py:99) per row.

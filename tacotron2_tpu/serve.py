@@ -54,10 +54,11 @@ class BatchingSynthesizer:
         # batched fused Pallas decoder (kernels/decoder_batch.py): all
         # decoder weights VMEM-resident across the whole decode — 2.1x
         # the XLA batched path at B=8 (PERFORMANCE.md round 3). Engaged
-        # per bucket when the envelope fits (batch <= 8, dims %128);
+        # per bucket when the envelope fits (batch <= 32, dims %128 —
+        # round 5 extended the kernel from one 8-row sublane tile to 4);
         # off-envelope buckets keep the XLA path.
         self._packed = None
-        if use_fused_kernel and max_batch <= 8:
+        if use_fused_kernel and max_batch <= 32:
             from tacotron2_tpu.kernels import decoder_batch as db
             # int8-quantized LSTM cells (quantize_for_serving) use a
             # {w_q, scale, bias} tree the fused packer cannot consume —

@@ -51,6 +51,8 @@ def setup(cfg, B=4, seed=0, t_text=20):
     (4, 0.3, 1),    # per-row gate latch path
     (3, 0.99, 2),   # reduction factor r=2, odd batch
     (8, 0.99, 1),   # full sublane tile
+    (16, 0.99, 1),  # two sublane tiles (round-5 extension)
+    (21, 0.3, 1),   # three tiles, ragged rows + gate latch
 ])
 def test_batch_chunk_matches_reference(B, gate_threshold, r):
     cfg = make_cfg(gate_threshold=gate_threshold, n_frames_per_step=r)

@@ -121,6 +121,40 @@ def check_train_scan(b: int, t_in: int, t_steps: int, label: str) -> None:
     record(f"train_bwd_{label}", tree_rel_err(ggot, gref), 1e-1)
 
 
+def check_encoder_lstm() -> None:
+    """Fused BiLSTM encoder scans vs the XLA lax.scan path, values and
+    gradients, on the real chip (round 5, kernels/encoder_lstm.py)."""
+    from tacotron2_tpu.ops import lstm as L
+
+    cfg = small_cfg(encoder_embedding_dim=256, pallas_encoder_lstm=True)
+    E, B, T = 256, 16, 20
+    fp = L.lstm_params(jax.random.PRNGKey(1), E, E // 2)
+    bp = L.lstm_params(jax.random.PRNGKey(2), E, E // 2)
+    xs = jax.random.normal(jax.random.PRNGKey(3), (B, T, E),
+                           jnp.float32) * 0.3
+    lengths = jnp.full((B,), T, jnp.int32).at[B // 2:].set(T - 4)
+
+    def run(use_kernel):
+        f = jax.jit(lambda p, x: L.bilstm(
+            p[0], p[1], x, lengths, compute_dtype=jnp.bfloat16,
+            cfg=cfg if use_kernel else None))
+        return jax.block_until_ready(f((fp, bp), xs))
+
+    record("encoder_lstm_fwd", rel_err(run(True), run(False)), 5e-2)
+
+    def grads(use_kernel):
+        def loss(p, x):
+            out = L.bilstm(p[0], p[1], x, lengths,
+                           compute_dtype=jnp.bfloat16,
+                           cfg=cfg if use_kernel else None)
+            return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-2
+        return jax.block_until_ready(
+            jax.jit(jax.grad(loss, argnums=(0, 1)))((fp, bp), xs))
+
+    record("encoder_lstm_bwd", tree_rel_err(grads(True), grads(False)),
+           1e-1)
+
+
 def check_fused_inference() -> None:
     from tacotron2_tpu.kernels import decoder_batch as db
     from tacotron2_tpu.kernels import decoder_step as ds
@@ -180,6 +214,7 @@ def main() -> None:
     check_train_scan(16, 24, 12, "single_tile")
     check_train_scan(16, 150, 12, "multi_tile")
     check_train_scan(256, 24, 6, "batch_tiled")
+    check_encoder_lstm()
     # The fp32 inference parity checks need TRUE fp32 matmuls: TPU's
     # default matmul precision decomposes f32 dots into bf16 passes,
     # and the two implementations' different op orders then drift ~1e-2
