@@ -25,6 +25,12 @@ def test_default_config_is_in_kernel_envelope():
     for t_in in cfg.text_buckets:
         assert train_scan.supported(cfg, t_in, cfg.batch_size), t_in
     assert train_scan.bwd_supported(cfg, 128, cfg.batch_size)
+    # round-5 defaults: the fwd->bwd feat residual stream and the fused
+    # BiLSTM encoder kernels engage at the stock config too
+    assert cfg.pallas_stream_feat
+    assert cfg.pallas_encoder_lstm
+    from tacotron2_tpu.kernels import encoder_lstm
+    assert encoder_lstm.supported(cfg, cfg.batch_size)
 
 
 @pytest.mark.slow
@@ -36,12 +42,13 @@ def test_default_trainer_step_traces_through_kernels(monkeypatch):
         make_train_step
     from __graft_entry__ import _make_batch
 
-    calls = {"fwd": 0, "bwd": 0}
+    calls = {"fwd": 0, "bwd": 0, "fwd_kwargs": []}
     real_fwd = train_scan.forward_residuals
     real_bwd = train_scan.backward_chain
 
     def spy_fwd(*a, **kw):
         calls["fwd"] += 1
+        calls["fwd_kwargs"].append(kw)
         return real_fwd(*a, **kw)
 
     def spy_bwd(*a, **kw):
@@ -61,3 +68,7 @@ def test_default_trainer_step_traces_through_kernels(monkeypatch):
     jax.eval_shape(step, state, batch, jax.random.PRNGKey(1))
     assert calls["fwd"] >= 1, "default config must engage the fwd kernel"
     assert calls["bwd"] >= 1, "default config must engage the bwd kernel"
+    # the fwd call must have been asked to emit the feat residual for
+    # the backward (round 5): emit_feat threads through decoder_vjp.fwd
+    assert any(kw.get("emit_feat") for kw in calls["fwd_kwargs"]), \
+        "default config must stream the feat residual to the backward"
