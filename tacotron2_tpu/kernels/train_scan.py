@@ -168,12 +168,20 @@ def _batch_fits(dims: ScanDims, b: int) -> bool:
     orientations + memory + the transposed LSTM weights) exceeds VMEM
     at B_tile=128 x T_pad=256; B <= 64 leaves room for the full 256.
     batch > 128 runs as ceil(B/128) batch tiles over the grid's leading
-    dim (each tile a full sequential chain, weights fetched once), so
-    the per-tile bound is what matters; tiles must be uniform.
+    dim (each tile a full sequential chain, weights fetched once), BUT
+    the per-batch-tile bconst blocks (mem is 16 MB at T_pad=128) then
+    DOUBLE-BUFFER across tiles — round-5 on-chip measurement: the
+    backward is 7 MB over VMEM at B=256 x T_pad=128 (with or without
+    the feat stream), while B=256 x T_pad=64 compiles and passes the
+    parity harness. So batch tiles cap at T_pad <= 64; tiles must be
+    uniform.
     """
     b_tile = b if b <= 128 else 128
     uniform = b <= 128 or b % 128 == 0
-    t_cap = 256 if b_tile <= 64 else 192
+    if b > 128:
+        t_cap = 64
+    else:
+        t_cap = 256 if b_tile <= 64 else 192
     return (dims.t_pad <= t_cap and b % 8 == 0 and b <= 512 and uniform)
 
 
@@ -191,6 +199,18 @@ _FP32_DPROC_CAP = 128 * 192
 
 def _fp32_dproc_fits(dims: ScanDims, batch: int) -> bool:
     return min(batch, 128) * dims.t_pad <= _FP32_DPROC_CAP
+
+
+def feat_stream_fits(dims: ScanDims, batch: int) -> bool:
+    """Whether the fwd->bwd feat residual stream fits the backward's
+    VMEM plan. Round-5 measured boundary: at batch tiles (B > 128) the
+    per-tile bconst blocks (mem 16 MB at T_pad=128) double-buffer, and
+    the feat input window pushes the plan 1.3 MB over at
+    B=256/T_pad=128 — while B <= 128 fits through T_pad=192 (on-chip)
+    and the B=256/T_pad=64 shape passes the on-chip parity harness.
+    Off-fit shapes keep the backward kernel with feat rematerialized
+    (the round-4 form)."""
+    return batch <= 128 or dims.t_pad <= 64
 
 
 def bwd_supported(cfg: Tacotron2Config, t_in: int, batch: int) -> bool:

@@ -321,7 +321,12 @@ def _make_core_scan(cfg: Tacotron2Config, dropout_active: bool):
         bwd_kernel = _bwd_kernel_engages(prenet_steps, memory)
         keep = _kernel_keep_masks(prenet_steps, memory, scan_rng) \
             if bwd_kernel else None
-        emit_feat = bwd_kernel and cfg.pallas_stream_feat
+        emit_feat = False
+        if bwd_kernel and cfg.pallas_stream_feat:
+            from tacotron2_tpu.kernels import train_scan
+            emit_feat = train_scan.feat_stream_fits(
+                train_scan.scan_dims(cfg, memory.shape[1]),
+                prenet_steps.shape[1])
         res_chunks, feat = _forward(dp, prenet_steps, memory, processed,
                                     mask, scan_rng, keep=keep,
                                     emit_feat=emit_feat)

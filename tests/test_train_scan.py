@@ -229,9 +229,14 @@ def test_supported_envelope():
     assert not train_scan.supported(cfg, 256, 128)
     assert not train_scan.supported(cfg, 300, 64)      # T_in > 256
     assert not train_scan.supported(cfg, 128, 12)      # B % 8
-    assert train_scan.supported(cfg, 128, 256)         # r3: batch tiles
+    # batch tiles (B > 128): the per-tile bconst blocks double-buffer,
+    # so the on-chip VMEM boundary is t_pad <= 64 (round 5 measured:
+    # B=256 x t_pad=128 is 7 MB over with either backward form)
+    assert not train_scan.supported(cfg, 128, 256)
+    assert train_scan.supported(cfg, 64, 256)          # verified on chip
     assert not train_scan.supported(cfg, 128, 200)     # non-uniform tile
-    assert train_scan.supported(cfg, 128, 512)         # 4 uniform tiles
+    assert train_scan.supported(cfg, 64, 512)          # 4 uniform tiles
+    assert not train_scan.supported(cfg, 128, 512)
     assert not train_scan.supported(cfg, 128, 1024)    # > 512: XLA path
     # 128-row tiles at t_pad 256 would exceed VMEM at trace time — this
     # exact shape used to be accepted via the per-shard candidate and
@@ -241,7 +246,7 @@ def test_supported_envelope():
     # under any mesh_shape
     assert not train_scan.supported(cfg.replace(mesh_shape=(1, 2)),
                                     256, 128)
-    assert train_scan.supported(cfg.replace(mesh_shape=(2, 1)), 128, 256)
+    assert train_scan.supported(cfg.replace(mesh_shape=(2, 1)), 64, 256)
     # backward quality gate (round-3 root cause): the bwd kernel only
     # runs where the fp32 d_processed accumulator fits, judged on the
     # SAME trace-time batch the kernel builds with
